@@ -1,0 +1,256 @@
+"""Bloom filter — vectorized, mergeable re-expression of the reference sketch.
+
+Semantics grounded in /root/reference/src/bloomfilter.{h,cxx} (studied for
+behaviour only; this is a from-scratch numpy implementation):
+
+- sizing math ``m_k_min`` / ``capacity`` (src/bloomfilter.cxx:65-91), pinned by
+  the reference's unit tests (tests/test_bloomfilter.cxx:10-28) and re-pinned in
+  tests/test_bloom.py here;
+- memory-budgeted construction ``from_mem_spec`` with fixed k=10 and optional
+  round-down-to-power-of-two (src/bloomfilter.cxx:59-83);
+- Kirsch–Mitzenmacher double hashing: probe_i = (h1 + i*h2) mod m, with a
+  bitmask instead of mod when m is a power of two (src/bloomfilter.cxx:104-120);
+- ``add`` returns False when the item was already present — that return value IS
+  the duplicate signal (src/bloomfilter.cxx:35-45);
+- Swamidass–Baldi cardinality estimate (src/bloomfilter.cxx:50-52).
+
+New vs the reference: ``add_batch`` (vectorized insert over a whole column) and
+``merge`` (bitwise OR of equal-(m,k,seeds) bit arrays) for partition-parallel
+use. Batch-insert semantics: within one batch, only the first occurrence of a
+distinct key can be "new"; a key is also not-new if all k of its bits were set
+by prior batches. (This is at-least-as-accurate as sequential insertion: false
+positives caused by other keys *within the same batch* are not counted, so
+measured FPR ≤ the sequential filter's FPR; FNR is 0 in both.)
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+
+from ..hashing import HASHER_ID, SEED_A, SEED_B, hash_pair_batch, valid_mask
+from .base import Sketch, SketchError
+
+_MEMSPEC_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*([KMGT]?)(i?)B?\s*$", re.IGNORECASE)
+
+#: fixed probe count for memory-budgeted construction — the reference trades
+#: ~17% capacity for 2× hash speed with k=10 (README.md:153-176).
+DEFAULT_MEM_K = 10
+DEFAULT_FPR = 1e-6
+DEFAULT_MEM = "4GiB"
+
+
+def parse_memspec(memspec: str) -> int:
+    """Parse '4GiB' / '512MB' / '8388608' → bytes. Binary (KiB/MiB/GiB/TiB)
+    powers for the 'i' forms, decimal powers otherwise."""
+    m = _MEMSPEC_RE.match(memspec)
+    if not m:
+        raise ValueError(f"bad memory spec: {memspec!r}")
+    qty, unit, binary = float(m.group(1)), m.group(2).upper(), bool(m.group(3))
+    exp = {"": 0, "K": 1, "M": 2, "G": 3, "T": 4}[unit]
+    base = 1024 if binary else 1000
+    return int(qty * base**exp)
+
+
+def m_k_min(p: float, n: float) -> tuple[int, int]:
+    """Optimal (m bits, k hashes) for target FPR p at capacity n.
+
+    m = ceil(n·(−ln p)/ln²2), k = ceil(ln2·m/n) — standard Bloom sizing,
+    value-pinned against the reference's unit tests."""
+    m = math.ceil(n * (-math.log(p)) / (math.log(2) ** 2))
+    k = math.ceil(math.log(2) * m / n)
+    return m, k
+
+
+def capacity(p: float, m: float, k: float) -> int:
+    """Max items n such that a (m,k) filter stays under FPR p."""
+    return math.ceil(m / (-k / math.log(1.0 - math.exp(math.log(p) / k))))
+
+
+class BloomFilter(Sketch):
+    kind = "bloom"
+
+    def __init__(
+        self,
+        p: float = DEFAULT_FPR,
+        n: int | None = None,
+        *,
+        m: int | None = None,
+        k: int | None = None,
+        seeds: tuple[int, int] = (SEED_A, SEED_B),
+    ):
+        """Either (p, n) → optimal (m, k), or (p, m=, k=) → inferred capacity."""
+        if not (0.0 < p < 1.0):
+            raise ValueError(f"p must be in (0,1), got {p}")
+        self.p = float(p)
+        if m is not None and k is not None:
+            self.m, self.k = int(m), int(k)
+            self.n = capacity(p, self.m, self.k)
+        elif n is not None:
+            self.m, self.k = m_k_min(p, n)
+            self.n = int(n)
+        else:
+            raise ValueError("need either n or (m and k)")
+        if self.m <= 0 or self.k <= 0:
+            raise ValueError(f"bad geometry m={self.m} k={self.k}")
+        self.seeds = tuple(seeds)
+        self.hasher = HASHER_ID
+        # pow2 fast path: bitmask addressing instead of modulus (~5% in the
+        # reference, src/streammd.cxx:48-55)
+        self._pow2 = (self.m & (self.m - 1)) == 0
+        self._mask = np.uint64(self.m - 1) if self._pow2 else None
+        self._bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+        self.n_added = 0  # distinct inserts that were new
+
+    # --- constructors ---------------------------------------------------------
+
+    @classmethod
+    def from_mem_spec(
+        cls,
+        p: float = DEFAULT_FPR,
+        memspec: str = DEFAULT_MEM,
+        mpow2: bool = False,
+        **kw,
+    ) -> "BloomFilter":
+        """Memory-budgeted construction: m = 8·bytes, fixed k=10; optionally
+        round m down to a power of two for mask addressing."""
+        m = 8 * parse_memspec(memspec)
+        if mpow2:
+            m = 1 << (m.bit_length() - 1)
+        return cls(p, m=m, k=DEFAULT_MEM_K, **kw)
+
+    # --- probing --------------------------------------------------------------
+
+    def _indices(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """(k, n) probe indices via double hashing."""
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        idx = h1[None, :] + i * h2[None, :]
+        if self._pow2:
+            return idx & self._mask
+        return idx % np.uint64(self.m)
+
+    def _test_and_set(self, idx: np.ndarray) -> np.ndarray:
+        """idx: (k, n) → bool (n,) 'all k bits were already set'; sets all."""
+        word = (idx >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (idx & np.uint64(63))
+        present = (self._bits[word] & bit) != 0
+        seen = present.all(axis=0)
+        np.bitwise_or.at(self._bits, word.ravel(), bit.ravel())
+        return seen
+
+    # --- scalar API (reference parity) ---------------------------------------
+
+    def _scalar_hashes(self, item) -> tuple[np.ndarray, np.ndarray]:
+        # same hasher as the bulk path so scalar and batch views agree
+        if not isinstance(item, str):
+            item = item.decode("utf-8") if isinstance(item, bytes) else str(item)
+        return hash_pair_batch([item], *self.seeds)
+
+    def add(self, item) -> bool:
+        """Insert one item; returns False if it was (probably) already present
+        — the duplicate signal, matching the reference's add()."""
+        h1, h2 = self._scalar_hashes(item)
+        seen = self._test_and_set(self._indices(h1, h2))
+        if not seen[0]:
+            self.n_added += 1
+        return not bool(seen[0])
+
+    def contains(self, item) -> bool:
+        h1, h2 = self._scalar_hashes(item)
+        idx = self._indices(h1, h2)
+        word = (idx >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (idx & np.uint64(63))
+        return bool(((self._bits[word] & bit) != 0).all())
+
+    # --- vectorized API (the hot path) ---------------------------------------
+
+    def add_hashed(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Insert pre-hashed keys; returns bool array 'was_new'.
+
+        Within the batch, only the first occurrence of each (h1,h2) pair can be
+        new; repeats are not-new regardless of filter state."""
+        if len(h1) == 0:
+            return np.zeros(0, dtype=bool)
+        h1 = np.ascontiguousarray(h1, dtype=np.uint64)
+        h2 = np.ascontiguousarray(h2, dtype=np.uint64)
+        pair = np.empty(len(h1), dtype=[("a", np.uint64), ("b", np.uint64)])
+        pair["a"], pair["b"] = h1, h2
+        first_idx = np.unique(pair, return_index=True)[1]
+        is_first = np.zeros(len(h1), dtype=bool)
+        is_first[first_idx] = True
+        seen_before = self._test_and_set(self._indices(h1, h2))
+        was_new = is_first & ~seen_before
+        self.n_added += int(was_new.sum())
+        return was_new
+
+    def add_batch(self, values) -> np.ndarray:
+        """Hash + insert a column of strings/bytes; returns 'was_new' bools.
+
+        Null values are never inserted and report was_new=False — they are the
+        analog of the reference's unmapped templates, which are counted but
+        never added to the filter (/root/reference/src/markdups.cxx:110-112).
+        """
+        valid = valid_mask(values)
+        h1, h2 = hash_pair_batch(values, *self.seeds)
+        if valid is None:
+            return self.add_hashed(h1, h2)
+        out = np.zeros(len(h1), dtype=bool)
+        out[valid] = self.add_hashed(h1[valid], h2[valid])
+        return out
+
+    def insert_batch(self, values) -> None:
+        """Sketch-ABC insert (discards the was_new signal)."""
+        self.add_batch(values)
+
+    def contains_batch(self, values) -> np.ndarray:
+        h1, h2 = hash_pair_batch(values, *self.seeds)
+        idx = self._indices(
+            np.ascontiguousarray(h1, np.uint64), np.ascontiguousarray(h2, np.uint64)
+        )
+        word = (idx >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (idx & np.uint64(63))
+        return ((self._bits[word] & bit) != 0).all(axis=0)
+
+    # --- summaries ------------------------------------------------------------
+
+    def count_bits_set(self) -> int:
+        # popcount via uint8 view — vectorized
+        return int(np.unpackbits(self._bits.view(np.uint8)).sum())
+
+    def count_estimate(self) -> int:
+        """Swamidass–Baldi: ceil((m/k)·−ln(1−fill))."""
+        fill = self.count_bits_set() / self.m
+        if fill >= 1.0:
+            return self.n  # saturated
+        return math.ceil((self.m / self.k) * -math.log(1.0 - fill))
+
+    def marginal_fpr(self, n_items: int | None = None) -> float:
+        """FPR after n_items inserts: (1 − e^{−k·n/m})^k
+        (overcapacity report, /root/reference/src/streammd.cxx:142-160)."""
+        n = self.n_added if n_items is None else n_items
+        return (1.0 - math.exp(-self.k * n / self.m)) ** self.k
+
+    def estimate(self) -> int:
+        return self.count_estimate()
+
+    # --- merge ----------------------------------------------------------------
+
+    def _compat_key(self) -> tuple:
+        return (self.kind, self.m, self.k, self.seeds, self.hasher)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        """Bitwise OR. Post-merge the filter answers global membership /
+        count_estimate; note ORed fill raises marginal FPR, so duplicate
+        *marking* must happen partition-locally before the merge (see
+        SURVEY.md §4.2)."""
+        self.check_compatible(other)
+        np.bitwise_or(self._bits, other._bits, out=self._bits)
+        # n_added over-counts keys present in both; callers wanting exactness
+        # use count_estimate() on the merged filter.
+        self.n_added += other.n_added
+        return self
+
+    def __len__(self) -> int:
+        return self.n_added
