@@ -1,0 +1,239 @@
+"""mark_duplicates — the flagship pipeline: streammd's semantics, Ray-Data
+shape (SURVEY.md §3.4).
+
+    read → add_key_columns (stateless map_batches, Arrow zero-copy)
+         → BloomMarkStage (stateful; P shard actors own the partitioned filter)
+         → [strip/remove handling] → marked Dataset (+ metrics, capacity guard)
+
+Differences from the reference, by design (documented, SURVEY.md §4.2):
+ - FLAG|=1024 in-place becomes an appended ``is_duplicate: bool`` column;
+ - first-seen-wins is arrival-order within the Ray stream: exactly one row
+   per distinct key survives, deterministic in *count*, nondeterministic in
+   *identity* — use stages.dedup.dedup_exact_first when identity must be
+   reproducible;
+ - the overcapacity check (reference src/streammd.cxx:142-160) runs per shard
+   and on the aggregate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import SEED_A, SEED_B
+from ..sketches.base import merge_all
+from ..sketches.bloom import BloomFilter
+from ..stages.dedup import (
+    KEY_H1,
+    KEY_H2,
+    BloomMarkStage,
+    add_key_columns,
+    make_shard_actors,
+)
+
+
+class CapacityExceeded(RuntimeError):
+    """Raised when items added exceed filter capacity and overcapacity is not
+    allowed (mirrors the reference's hard error, src/streammd.cxx:147-160)."""
+
+
+@dataclass
+class MarkResult:
+    dataset: Any  # the output Dataset (filtered if remove_duplicates)
+    marked: Any  # the marked Dataset incl. is_duplicate (pre-filter)
+    shards: list  # the shard actor handles (live until released)
+    config: dict = field(default_factory=dict)
+
+    def shard_stats(self) -> list[dict]:
+        import ray
+
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    def merged_filter(self) -> BloomFilter:
+        """OR of all shard states — for global estimates ONLY, never marking."""
+        import ray
+
+        states = ray.get([s.state.remote() for s in self.shards])
+        return merge_all([BloomFilter.from_bytes(b) for b in states])
+
+    def check_capacity(self, allow_overcapacity: bool = False) -> dict:
+        """Post-run capacity / marginal-FPR report; raises unless allowed."""
+        stats = self.shard_stats()
+        report = {
+            "shards": stats,
+            "n_added": sum(s["n_added"] for s in stats),
+            "capacity": sum(s["capacity"] for s in stats),
+            "max_marginal_fpr": max(s["marginal_fpr"] for s in stats),
+            "target_p": self.config.get("p"),
+        }
+        over = [s for s in stats if s["n_added"] > s["capacity"]]
+        report["overcapacity_shards"] = len(over)
+        if over and not allow_overcapacity:
+            raise CapacityExceeded(
+                f"{len(over)}/{len(stats)} Bloom shards over capacity "
+                f"(max marginal FPR {report['max_marginal_fpr']:.3g} > target "
+                f"{self.config.get('p')}); pass allow_overcapacity=True to proceed"
+            )
+        return report
+
+
+def mark_duplicates(
+    ds,
+    *,
+    key_cols: tuple[str, ...] = ("text",),
+    scope: str = "global",
+    p: float = 1e-6,
+    mem: str | None = None,
+    total_capacity: int | None = None,
+    num_shards: int = 8,
+    mark_concurrency: int = 4,
+    batch_size: int = 32768,
+    remove_duplicates: bool = False,
+    strip_previous: bool = False,
+    mark_col: str = "is_duplicate",
+    seeds: tuple[int, int] = (SEED_A, SEED_B),
+    shards: list | None = None,
+) -> MarkResult:
+    """Mark duplicate turns with a partitioned Bloom filter.
+
+    scope='global' dedups on the content key alone (cross-conversation);
+    scope='conversation' prepends conv_id to the key — the analog of the
+    reference's per-template grouping (each conversation dedups its own
+    turns). ``shards`` lets a resumable driver pass pre-loaded actors.
+    """
+    if scope == "conversation":
+        key_cols = ("text", "conv_id") if "conv_id" not in key_cols else key_cols
+    elif scope != "global":
+        raise ValueError(f"unknown scope: {scope}")
+
+    had_mark = mark_col in ds.schema().names
+    if had_mark:
+        ds = ds.map_batches(
+            lambda t: t.rename_columns(
+                [c if c != mark_col else "__prev_mark" for c in t.column_names]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    if shards is None:
+        shards = make_shard_actors(
+            num_shards,
+            p=p,
+            total_capacity=total_capacity,
+            mem=mem,
+            seeds=seeds,
+        )
+
+    keyed = add_key_columns(ds, key_cols, seeds=seeds)
+    # Autoscaling (1, N) pool: the mark stage itself is stateless (all state
+    # lives in the shard actors), so pool size affects throughput only — and
+    # (1, N) can't deadlock with the shard actors' CPU reservations.
+    marked = keyed.map_batches(
+        BloomMarkStage,
+        fn_constructor_kwargs={"shards": shards, "mark_col": mark_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=(1, mark_concurrency),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        new = t[mark_col].combine_chunks()
+        if had_mark:
+            prev = t["__prev_mark"].combine_chunks()
+            if not strip_previous:
+                # default: previously-marked rows stay marked
+                new = pc.or_kleene(pc.fill_null(prev, False), new)
+            # strip_previous: prior marks cleared unless re-marked now
+            t = t.drop_columns(["__prev_mark"])
+        i = t.schema.get_field_index(mark_col)
+        return t.set_column(i, mark_col, new).drop_columns([KEY_H1, KEY_H2])
+
+    marked = marked.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+    out = marked
+    if remove_duplicates:
+        out = marked.map_batches(
+            lambda t: t.filter(pc.invert(t[mark_col].combine_chunks())),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    return MarkResult(
+        dataset=out,
+        marked=marked,
+        shards=shards,
+        config={
+            "key_cols": key_cols,
+            "scope": scope,
+            "p": p,
+            "mem": mem,
+            "total_capacity": total_capacity,
+            "num_shards": len(shards),
+            "seeds": seeds,
+            "remove_duplicates": remove_duplicates,
+            "strip_previous": strip_previous,
+        },
+    )
+
+
+def compute_metrics(
+    marked,
+    *,
+    mark_col: str = "is_duplicate",
+    content_col: str = "text",
+    conv_col: str = "conv_id",
+    exact_conversations: bool = True,
+) -> dict:
+    """The six-field metrics JSON, generalized from the reference's
+    (src/markdups.cxx:202-234; field mapping in FIXTURES.md F4).
+
+    One aggregation pass for the counters; CONVERSATIONS is exact (a distinct
+    shuffle — fine at validation scale) or an HLL estimate (the 10^12-turn
+    path) when ``exact_conversations=False``.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def flags(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__null": pc.cast(pc.is_null(t[content_col]), pa.int64()),
+                "__dup": pc.cast(t[mark_col], pa.int64()),
+            }
+        )
+
+    agg = (
+        marked.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(
+            Count(alias_name="turns"),
+            Sum("__null", alias_name="nulls"),
+            Sum("__dup", alias_name="dups"),
+        )
+    )
+    turns = int(agg["turns"])
+    nulls = int(agg["nulls"])
+    dups = int(agg["dups"])
+
+    if exact_conversations:
+        convs = marked.select_columns([conv_col]).unique(conv_col)
+        n_convs = len(convs)
+    else:
+        from ..sketches.hll import HyperLogLog
+        from ..stages.sketch_agg import sketch_column
+
+        n_convs = round(sketch_column(marked, conv_col, HyperLogLog()).estimate())
+
+    denom = turns - nulls
+    frac = round(dups / denom, 4) if denom else 0.0
+    return {
+        "TURNS": turns,
+        "TURNS_NULL_TEXT": nulls,
+        "TURNS_MARKED_DUPLICATE": dups,
+        "CONVERSATIONS": n_convs,
+        "TURN_DUPLICATE_FRACTION": frac,
+    }

@@ -1,0 +1,289 @@
+"""Duplicate-detection stages — the Ray-Data re-expression of the reference's
+single-pass Bloom dedup (/root/reference/src/markdups.cxx:86-135, studied for
+semantics only).
+
+Three building blocks:
+
+- :func:`add_key_columns` — stateless ``map_batches`` deriving the dedup key's
+  two 64-bit hashes from the canonical key bytes. Multi-column keys use
+  length-prefixed encoding (the reference is careful that ``chr1|1234`` and
+  ``chr11|234`` must not collide, src/markdups.cxx:142-145; length prefixes
+  generalize that discipline). Null content ⇒ null key (the "unmapped"
+  analog: counted, never inserted, src/markdups.cxx:110-112).
+
+- :class:`BloomShardActor` + :class:`BloomMarkStage` — the stateful path.
+  P shard actors each own 1/P of the global Bloom filter; every key is routed
+  to ``h1 mod P``, so each key always consults the same shard and the
+  partitioned filter is decision-equivalent to one global filter of the same
+  total (m, k) (SURVEY.md §7.0). Marking happens shard-locally during insert;
+  the merged (ORed) filter is used only for global estimates, never for
+  marking (SURVEY.md §4.2). First-seen-wins is arrival-order within the Ray
+  stream — exactly one row per distinct key survives (actor calls serialize),
+  but *which* physical row is first is nondeterministic under parallelism, so
+  order-sensitive oracles must use :func:`dedup_exact_first` instead; the
+  duplicate-count and metrics are deterministic.
+
+- :func:`dedup_exact_first` — the exact, deterministic oracle path:
+  hash-partitioned ``groupby`` + first-by-(conv_id, turn_idx) within each
+  group. O(n) shuffle; use at test scale and wherever row-identity
+  determinism matters. This is the engine's analog of the exact-dedup oracle
+  the reference is validated against (Picard golden outputs,
+  tests/test_picard.cxx).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import SEED_A, SEED_B, hash_pair_batch
+from ..sketches.bloom import BloomFilter
+
+KEY_H1 = "__key_h1"
+KEY_H2 = "__key_h2"
+
+
+def canonical_key(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Array:
+    """Length-prefixed, collision-safe concatenation of the key columns.
+
+    Null in the *first* (content) column ⇒ null key. Nulls in secondary
+    columns encode as the 1-char sentinel '\\x00' (distinct from empty
+    string's '0:').
+    """
+    if len(key_cols) == 1:
+        return batch[key_cols[0]].combine_chunks()
+    parts = []
+    for i, c in enumerate(key_cols):
+        col = batch[c]
+        if not isinstance(col, pa.Array):
+            col = col.combine_chunks()
+        col = pc.cast(col, pa.string())
+        ln = pc.cast(pc.utf8_length(col), pa.string())
+        enc = pc.binary_join_element_wise(ln, ":", col, "")
+        if i > 0:
+            enc = pc.fill_null(enc, "\x00")
+        parts.append(enc)
+    out = pc.binary_join_element_wise(*parts, "#")
+    # null iff content col null (join emits null if ANY part is null; parts>0
+    # were fill_null'd, so only the first col's nulls remain)
+    return out
+
+
+def add_key_columns(
+    ds,
+    key_cols: tuple[str, ...] = ("text",),
+    *,
+    seeds: tuple[int, int] = (SEED_A, SEED_B),
+):
+    """Append the (h1, h2) dedup-key hash columns (uint64; 0 = null key)."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        key = canonical_key(batch, key_cols)
+        h1, h2 = hash_pair_batch(key, *seeds)
+        null_mask = np.asarray(pc.is_null(key))
+        h1 = h1.copy()
+        h1[null_mask] = 0
+        return batch.append_column(KEY_H1, pa.array(h1, pa.uint64())).append_column(
+            KEY_H2, pa.array(h2, pa.uint64())
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Sharded Bloom actors (the scale path)
+# ---------------------------------------------------------------------------
+
+
+class _BloomShard:
+    """One partition of the global Bloom filter + its running counters
+    (the counters mirror struct counts, /root/reference/src/markdups.h:33-36)."""
+
+    def __init__(
+        self,
+        p: float,
+        capacity: int,
+        *,
+        m: int | None = None,
+        k: int | None = None,
+        seeds=(SEED_A, SEED_B),
+    ):
+        if m is not None and k is not None:
+            self.bf = BloomFilter(p, m=m, k=k, seeds=seeds)
+        else:
+            self.bf = BloomFilter(p, capacity, seeds=seeds)
+        self.keys_seen = 0
+        self.dups = 0
+
+    def add(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        was_new = self.bf.add_hashed(h1, h2)
+        self.keys_seen += len(h1)
+        self.dups += int((~was_new).sum())
+        return was_new
+
+    def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        idx = self.bf._indices(
+            np.ascontiguousarray(h1, np.uint64), np.ascontiguousarray(h2, np.uint64)
+        )
+        word = (idx >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (idx & np.uint64(63))
+        return ((self.bf._bits[word] & bit) != 0).all(axis=0)
+
+    def stats(self) -> dict:
+        return {
+            "keys_seen": self.keys_seen,
+            "dups": self.dups,
+            "n_added": self.bf.n_added,
+            "capacity": self.bf.n,
+            "marginal_fpr": self.bf.marginal_fpr(),
+            "count_estimate": self.bf.count_estimate(),
+        }
+
+    def state(self) -> bytes:
+        return self.bf.to_bytes()
+
+    def load(self, data: bytes, keys_seen: int = 0, dups: int = 0) -> None:
+        self.bf = BloomFilter.from_bytes(data)
+        self.keys_seen = keys_seen
+        self.dups = dups
+
+
+def make_shard_actors(
+    num_shards: int,
+    *,
+    p: float = 1e-6,
+    total_capacity: int | None = None,
+    mem: str | None = None,
+    seeds=(SEED_A, SEED_B),
+    num_cpus: float = 0.25,
+):
+    """Create the P Bloom shard actors.
+
+    Sizing: the total memory/capacity budget is split evenly across shards;
+    keys route by ``h1 mod P``, so shard i holds ~n/P keys and honors the
+    configured FPR p at its share (SURVEY.md §7.3 FPR accounting). P is fixed
+    for the run and recorded in lineage — state partition count must be
+    deterministic, never autoscaled.
+    """
+    import ray
+
+    from ..sketches.bloom import DEFAULT_MEM_K, parse_memspec
+
+    Actor = ray.remote(num_cpus=num_cpus)(_BloomShard)
+    kwargs: dict = {"seeds": seeds}
+    if mem is not None:
+        total_m = 8 * parse_memspec(mem)
+        per_m = total_m // num_shards
+        # keep pow2 addressing when the split allows it
+        per_m = 1 << (per_m.bit_length() - 1)
+        kwargs.update(m=per_m, k=DEFAULT_MEM_K)
+        cap = 0
+    else:
+        cap = max(1024, int((total_capacity or 1_000_000) / num_shards))
+    return [Actor.remote(p, cap, **kwargs) for _ in range(num_shards)]
+
+
+class BloomMarkStage:
+    """map_batches callable: route each row's key hash to its shard actor,
+    gather was_new verdicts, append ``is_duplicate``.
+
+    The per-batch work is one numpy argsort-free bucketing + P concurrent
+    actor RPCs; actor handles are constructor args so the routing table is
+    built once per map worker, not per batch.
+    """
+
+    def __init__(self, shards, *, mark_col: str = "is_duplicate"):
+        self.shards = shards
+        self.P = len(shards)
+        self.mark_col = mark_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        h1 = np.asarray(batch[KEY_H1].combine_chunks(), dtype=np.uint64)
+        h2 = np.asarray(batch[KEY_H2].combine_chunks(), dtype=np.uint64)
+        n = len(h1)
+        is_dup = np.zeros(n, dtype=bool)
+        nonnull = h1 != 0
+        if nonnull.any():
+            idx = np.flatnonzero(nonnull)
+            shard_of = (h1[idx] % np.uint64(self.P)).astype(np.int64)
+            order = np.argsort(shard_of, kind="stable")
+            idx_sorted = idx[order]
+            shard_sorted = shard_of[order]
+            bounds = np.searchsorted(shard_sorted, np.arange(self.P + 1))
+            futures, spans = [], []
+            for s in range(self.P):
+                lo, hi = bounds[s], bounds[s + 1]
+                if lo == hi:
+                    continue
+                rows = idx_sorted[lo:hi]
+                futures.append(self.shards[s].add.remote(h1[rows], h2[rows]))
+                spans.append(rows)
+            for rows, was_new in zip(spans, ray.get(futures)):
+                is_dup[rows] = ~was_new
+        return batch.append_column(self.mark_col, pa.array(is_dup))
+
+
+# ---------------------------------------------------------------------------
+# Exact deterministic dedup (oracle path)
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_first(
+    ds,
+    key_cols: tuple[str, ...] = ("text",),
+    *,
+    order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    mark_col: str = "is_duplicate",
+    drop_key_cols: bool = True,
+):
+    """Exact first-seen-wins duplicate marking, deterministic under any
+    partition layout: first = min(order_cols) per distinct key.
+
+    Physical plan: hash keys (so the shuffle moves a uint64, not full text) →
+    ``groupby(h1)`` → within each hash group, exact compare on the real key
+    columns (hash collisions are resolved, not trusted) → mark all but the
+    order-min row of each distinct key. Null-key rows are salted across
+    groups by row identity so the null 2% doesn't become one giant group.
+    """
+
+    def salt_nulls(batch: pa.Table) -> pa.Table:
+        h1 = np.asarray(batch[KEY_H1].combine_chunks(), dtype=np.uint64)
+        if (h1 == 0).any():
+            salt, _ = hash_pair_batch(
+                pc.binary_join_element_wise(
+                    pc.cast(batch[order_cols[0]].combine_chunks(), pa.string()),
+                    pc.cast(batch[order_cols[1]].combine_chunks(), pa.string()),
+                    "\x00",
+                )
+            )
+            h1 = np.where(h1 == 0, salt | np.uint64(1), h1)
+            null_flag = np.asarray(pc.is_null(canonical_key(batch, key_cols)))
+        else:
+            null_flag = np.zeros(len(h1), dtype=bool)
+        return batch.set_column(
+            batch.schema.get_field_index(KEY_H1), KEY_H1, pa.array(h1, pa.uint64())
+        ).append_column("__key_null", pa.array(null_flag))
+
+    ds = add_key_columns(ds, key_cols)
+    ds = ds.map_batches(salt_nulls, batch_format="pyarrow")
+
+    key_list = list(key_cols)
+    order_list = list(order_cols)
+
+    def mark_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_list, kind="stable")
+        nn = ~g["__key_null"].to_numpy()
+        dup = np.zeros(len(g), dtype=bool)
+        if nn.any():
+            sub = g.loc[nn, key_list]
+            dup[nn] = sub.duplicated(keep="first").to_numpy()
+        g[mark_col] = dup
+        return g
+
+    out = ds.groupby(KEY_H1).map_groups(mark_group, batch_format="pandas")
+    drop = [KEY_H1, KEY_H2, "__key_null"]
+    return out.drop_columns(drop)
