@@ -1,0 +1,494 @@
+"""Near-duplicate detection & similarity search stages.
+
+Four families, all expressed as Ray Data compositions (map_batches partials →
+groupby on bucket keys → within-bucket verification), per the standard
+published constructions:
+
+- **MinHash + LSH** (Broder 1997; Leskovec/Rajaraman/Ullman ch.3): word
+  k-shingles → P permutation minima via universal hashing → band buckets →
+  ``groupby(band, bucket)`` → candidate pairs → verified Jaccard.
+- **SimHash** (Charikar 2002): 64-bit sign-of-weighted-sum fingerprint;
+  near-dup candidates share at least one of 4 16-bit chunks (exact-match
+  banding for Hamming distance ≤ 3-ish), verified by true Hamming distance.
+- **n-gram Jaccard**: exact set Jaccard on char n-grams, used as the
+  verifier and as a standalone small-scale pairwise op.
+- **Embedding cosine**: brute-force matmul per batch against a broadcast
+  query matrix (ray.put once) for top-k ANN baseline and near-dup pairs;
+  an LSH-bucketed variant (random hyperplane signs) as the scale path.
+
+Partitioning assumption (documented per SURVEY.md custom-operator rule):
+candidate generation shuffles only (bucket_key, doc_id, signature) rows —
+never full text; verification joins text back via a broadcast lookup at
+small scale or a bucket-key co-shuffle at large scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..hashing import MASK64, hash64_batch
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_word_grams(text: str, k: int) -> list[str]:
+    words = text.split()
+    if len(words) < k:
+        return [" ".join(words)] if words else []
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def _char_ngrams(text: str, n: int) -> set:
+    t = " ".join(text.split()).lower()
+    if len(t) < n:
+        return {t} if t else set()
+    return {t[i : i + n] for i in range(len(t) - n + 1)}
+
+
+class MinHasher:
+    """Vectorized minhash signatures: per doc, sig_i = min over shingles of
+    ((a_i·h + b_i) mod p), h = 64-bit shingle hash. Deterministic (seeded
+    permutation parameters); stateful setup happens once per actor."""
+
+    def __init__(self, num_perm: int = 128, shingle_k: int = 5, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+        self.a = rng.integers(0, MASK64, num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, MASK64, num_perm, dtype=np.uint64)
+
+    def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
+        if shingle_hashes.size == 0:
+            return np.full(self.num_perm, MASK64, dtype=np.uint64)
+        # (P, S) permutation family via multiply-add mod 2^64 with odd
+        # multipliers (native uint64 wraparound — fully vectorized; the
+        # standard practical stand-in for min-wise independent permutations)
+        h = shingle_hashes.astype(np.uint64)
+        vals = self.a[:, None] * h[None, :] + self.b[:, None]
+        return vals.min(axis=1)
+
+    def batch_signatures(self, texts: list) -> np.ndarray:
+        """(n_docs, num_perm) uint64; null/empty docs get all-MAX signatures."""
+        out = np.full((len(texts), self.num_perm), MASK64, dtype=np.uint64)
+        # hash all shingles of the batch in ONE vectorized call
+        all_shingles: list[str] = []
+        spans = []
+        for t in texts:
+            if t is None:
+                spans.append((0, 0))
+                continue
+            sh = _shingle_word_grams(t, self.shingle_k)
+            spans.append((len(all_shingles), len(all_shingles) + len(sh)))
+            all_shingles.extend(sh)
+        if not all_shingles:
+            return out
+        hashes = hash64_batch(all_shingles, seed=17)
+        for i, (lo, hi) in enumerate(spans):
+            if hi > lo:
+                out[i] = self.signature(hashes[lo:hi])
+        return out
+
+
+def minhash_signature_stage(
+    num_perm: int = 128, shingle_k: int = 5, *, col: str = "text", id_col: str = "doc_id"
+):
+    """Returns a map_batches callable class emitting (id, sig list) rows."""
+
+    class MinHashStage:
+        def __init__(self):
+            self.mh = MinHasher(num_perm, shingle_k)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch[col].to_pylist()
+            sigs = self.mh.batch_signatures(texts)
+            return pa.table(
+                {
+                    id_col: batch[id_col].combine_chunks(),
+                    "minhash": pa.array(
+                        list(sigs), pa.list_(pa.uint64(), num_perm)
+                    ),
+                }
+            )
+
+    return MinHashStage
+
+
+def minhash_lsh_pairs(
+    ds,
+    *,
+    col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    concurrency=(1, 8),
+):
+    """Candidate near-dup pairs via MinHash-LSH, verified by signature
+    Jaccard estimate ≥ threshold. Returns a Dataset of (id_a, id_b, jaccard)
+    with id_a < id_b, deduplicated across bands.
+
+    Plan: signatures (map_batches, actor pool) → explode to one row per band
+    (band_hash = hash of that band's slice) → groupby(band, band_hash) →
+    pairs within bucket (map_groups; bucket sizes are bounded by similarity
+    structure — a pathological all-identical corpus is the skew case, handled
+    by capping per-bucket pair emission) → global pair dedup via groupby.
+    """
+    rows_per_band = num_perm // bands
+    Stage = minhash_signature_stage(num_perm, shingle_k, col=col, id_col=id_col)
+    sigs = ds.map_batches(
+        Stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+    )
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sig = np.stack(batch["minhash"].to_numpy(zero_copy_only=False))
+        n = len(ids)
+        band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+        doc_ids = np.tile(ids, bands)
+        hashes = np.empty(bands * n, dtype=np.uint64)
+        for b in range(bands):
+            chunk = sig[:, b * rows_per_band : (b + 1) * rows_per_band]
+            # fold the band slice into one bucket key with a running mix
+            acc = np.zeros(n, dtype=np.uint64)
+            for j in range(rows_per_band):
+                acc = acc * np.uint64(0x9E3779B97F4A7C15) + chunk[:, j]
+            hashes[b * n : (b + 1) * n] = acc
+        return pa.table(
+            {
+                "band": pa.array(band_ids, pa.int32()),
+                "bucket": pa.array(hashes, pa.uint64()),
+                id_col: pa.array(doc_ids),
+                # full signature travels with each band row so bucket-local
+                # verification needs no second join (documented tradeoff:
+                # bands× signature duplication vs a signatures shuffle-join)
+                "fullsig": pa.array(list(np.tile(sig, (bands, 1))), pa.list_(pa.uint64(), num_perm)),
+            }
+        )
+
+    exploded = sigs.map_batches(explode_bands, batch_format="pyarrow")
+
+    MAX_BUCKET = 256  # skew cap: beyond this, a bucket is all-duplicates anyway
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        g = g.sort_values(id_col).head(MAX_BUCKET)
+        ids = g[id_col].to_numpy()
+        sig = np.stack(g["fullsig"].to_numpy())
+        n = len(ids)
+        eq = (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
+        iu = np.triu_indices(n, k=1)
+        jac = eq[iu]
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0][keep]],
+                "id_b": ids[iu[1][keep]],
+                "jaccard": np.round(jac[keep], 6),
+            }
+        )
+
+    pairs = exploded.groupby(["band", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # same pair can surface from several bands — keep one
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .select_columns(["id_a", "id_b", "jaccard"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """64-bit SimHash over word hashes (unit weights)."""
+
+    def __init__(self, seed: int = 29):
+        self.seed = seed
+        self._bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def batch_fingerprints(self, texts: list) -> np.ndarray:
+        out = np.zeros(len(texts), dtype=np.uint64)
+        all_words: list[str] = []
+        spans = []
+        for t in texts:
+            ws = t.split() if t else []
+            spans.append((len(all_words), len(all_words) + len(ws)))
+            all_words.extend(ws)
+        if not all_words:
+            return out
+        h = hash64_batch(all_words, seed=self.seed)
+        bits = ((h[:, None] & self._bits[None, :]) != 0).astype(np.int32)  # (W, 64)
+        contrib = 2 * bits - 1
+        for i, (lo, hi) in enumerate(spans):
+            if hi > lo:
+                s = contrib[lo:hi].sum(axis=0)
+                out[i] = np.dot((s > 0).astype(np.uint64), self._bits)
+        return out
+
+
+def simhash_stage(*, col: str = "text", id_col: str = "doc_id", out: str = "simhash"):
+    class SimHashStage:
+        def __init__(self):
+            self.sh = SimHasher()
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            fps = self.sh.batch_fingerprints(batch[col].to_pylist())
+            from .text import set_column
+
+            return set_column(batch, out, pa.array(fps, pa.uint64()))
+
+    return SimHashStage
+
+
+def simhash_pairs(
+    ds,
+    *,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    concurrency=(1, 8),
+):
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Banding: 4 chunks of 16 bits; distance ≤ 3 ⇒ at least one chunk equal
+    (pigeonhole). groupby(chunk_id, chunk_value) → verify true distance.
+    """
+    Stage = simhash_stage(col=col, id_col=id_col)
+    CHUNKS = 4
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        fp = np.asarray(batch["simhash"].combine_chunks(), dtype=np.uint64)
+        n = len(ids)
+        chunk_id = np.repeat(np.arange(CHUNKS, dtype=np.int32), n)
+        vals = np.concatenate(
+            [(fp >> np.uint64(16 * c)) & np.uint64(0xFFFF) for c in range(CHUNKS)]
+        )
+        return pa.table(
+            {
+                "chunk": pa.array(chunk_id),
+                "val": pa.array(vals, pa.uint64()),
+                id_col: pa.array(np.tile(ids, CHUNKS)),
+                "simhash": pa.array(np.tile(fp, CHUNKS), pa.uint64()),
+            }
+        )
+
+    MAX_BUCKET = 512
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.sort_values(id_col).head(MAX_BUCKET)
+        ids = g[id_col].to_numpy()
+        fp = g["simhash"].to_numpy().astype(np.uint64)
+        n = len(ids)
+        x = fp[:, None] ^ fp[None, :]
+        # popcount via unpackbits on the byte view
+        pop = np.unpackbits(x.view(np.uint8).reshape(n, n, 8), axis=2).sum(axis=2)
+        iu = np.triu_indices(n, k=1)
+        d = pop[iu]
+        keep = d <= max_hamming
+        return pd.DataFrame(
+            {
+                "id_a": ids[iu[0][keep]],
+                "id_b": ids[iu[1][keep]],
+                "hamming": d[keep].astype(np.int64),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(Stage, batch_format="pyarrow", concurrency=concurrency)
+        .select_columns([id_col, "simhash"])
+        .map_batches(explode, batch_format="pyarrow")
+        .groupby(["chunk", "val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .select_columns(["id_a", "id_b", "hamming"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, small scale / verifier)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_matrix(texts: list, n: int = 3) -> np.ndarray:
+    sets = [_char_ngrams(t or "", n) for t in texts]
+    m = len(sets)
+    out = np.zeros((m, m))
+    for i in range(m):
+        for j in range(i, m):
+            a, b = sets[i], sets[j]
+            u = len(a | b)
+            out[i, j] = out[j, i] = (len(a & b) / u) if u else 0.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine: brute-force top-k + near-dup pairs + LSH bucketing
+# ---------------------------------------------------------------------------
+
+
+def embedding_topk(
+    ds,
+    query_matrix: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    concurrency=(1, 8),
+):
+    """Brute-force cosine top-k: per batch, float64 matmul against the
+    broadcast query matrix (ray.put once); per-batch candidates (k per query)
+    reduce to global top-k on the driver — O(batches·Q·k) driver work, never
+    the full dataset. Returns pandas (query_id, vec_id, score, rank)."""
+    import ray
+
+    q = np.asarray(query_matrix, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    q_ref = ray.put(qn)
+
+    class TopK:
+        def __init__(self, q_ref, k):
+            self.q = ray.get(q_ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            sims = self.q @ emb.T  # (Q, n)
+            kk = min(self.k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "query_id": np.repeat(np.arange(len(self.q)), kk),
+                id_col: ids[top.ravel()],
+                "score": np.round(sims[np.arange(len(self.q))[:, None], top].ravel(), 6),
+            }
+            return pa.table(rows)
+
+    cands = ds.map_batches(
+        TopK,
+        fn_constructor_kwargs={"q_ref": q_ref, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    ).to_pandas()
+    out = []
+    for qid, g in cands.groupby("query_id"):
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    return (
+        pd.concat(out)
+        .reset_index(drop=True)[["query_id", id_col, "score", "rank"]]
+    )
+
+
+def embedding_near_dup_pairs(
+    ds,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    concurrency=(1, 8),
+):
+    """All pairs with cosine ≥ threshold. The full matrix is broadcast once
+    (ray.put) and each batch matmuls against it — O(n²) compute distributed
+    over batches with no shuffle; for n beyond broadcast size use
+    :func:`embedding_lsh_buckets` first and verify within buckets."""
+    import ray
+
+    all_df = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = all_df[id_col].to_numpy()
+    emb_all = np.stack(all_df[vec_col].to_numpy()).astype(np.float64)
+    emb_all = emb_all / np.maximum(
+        np.linalg.norm(emb_all, axis=1, keepdims=True), 1e-12
+    )
+    ref = ray.put((ids_all, emb_all))
+
+    class Pairs:
+        def __init__(self, ref, threshold):
+            self.ids_all, self.emb_all = ray.get(ref)
+            self.t = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            sims = emb @ self.emb_all.T
+            bi, aj = np.nonzero(sims >= self.t)
+            keep = ids[bi] < self.ids_all[aj]  # upper triangle, no self-pairs
+            return pa.table(
+                {
+                    "id_a": pa.array(ids[bi][keep]),
+                    "id_b": pa.array(self.ids_all[aj][keep]),
+                    "cosine": pa.array(np.round(sims[bi, aj][keep], 6)),
+                }
+            )
+
+    return ds.map_batches(
+        Pairs,
+        fn_constructor_kwargs={"ref": ref, "threshold": threshold},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def embedding_lsh_buckets(
+    ds,
+    *,
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    seed: int = 31,
+    dim: int | None = None,
+):
+    """Random-hyperplane LSH bucket id per vector (the scale path for
+    near-dup: bucket → verify within bucket). Appends 'lsh_bucket'."""
+    import ray
+
+    if dim is None:
+        first = ds.take(1)[0][vec_col]
+        dim = len(first)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    ref = ray.put(planes)
+    bits = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+
+    class Bucket:
+        def __init__(self, ref):
+            self.planes = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            signs = (emb @ self.planes) > 0
+            bucket = (signs.astype(np.uint64) * bits[None, :]).sum(axis=1)
+            from .text import set_column
+
+            return set_column(batch, "lsh_bucket", pa.array(bucket, pa.uint64()))
+
+    return ds.map_batches(
+        Bucket,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )

@@ -1,0 +1,204 @@
+"""Similarity stages: minhash accuracy, LSH recall on planted near-dups,
+simhash hamming, embedding top-k vs exact, LSH bucketing recall, multimodal
+plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from streammd_ray.stages.multimodal import (
+    MediaDecodeStage,
+    decode_media,
+    make_fake_media_table,
+)
+from streammd_ray.stages.similarity import (
+    MinHasher,
+    SimHasher,
+    embedding_lsh_buckets,
+    embedding_near_dup_pairs,
+    embedding_topk,
+    minhash_lsh_pairs,
+    ngram_jaccard_matrix,
+    simhash_pairs,
+    _shingle_word_grams,
+)
+
+RNG = np.random.default_rng(13)
+WORDS = np.array(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega red green blue".split()
+)
+
+
+def _doc(n=60):
+    return " ".join(RNG.choice(WORDS, n))
+
+
+def _mutate(text, n_edits):
+    words = text.split()
+    idx = RNG.choice(len(words), size=min(n_edits, len(words)), replace=False)
+    for i in idx:
+        words[i] = str(RNG.choice(WORDS))
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    """200 docs; 20 near-dup pairs planted (ids 0..19 ~ 200..219)."""
+    docs = [_doc() for _ in range(200)]
+    near = [_mutate(docs[i], 2) for i in range(20)]
+    texts = docs + near
+    ids = list(range(len(texts)))
+    truth_pairs = {(i, 200 + i) for i in range(20)}
+    return pd.DataFrame({"doc_id": ids, "text": texts}), truth_pairs
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(num_perm=256, shingle_k=3)
+    a = _doc(120)
+    b = _mutate(a, 12)
+    sa = set(_shingle_word_grams(a, 3))
+    sb = set(_shingle_word_grams(b, 3))
+    true_j = len(sa & sb) / len(sa | sb)
+    sigs = mh.batch_signatures([a, b])
+    est = (sigs[0] == sigs[1]).mean()
+    assert abs(est - true_j) < 0.12
+
+
+def test_minhash_lsh_recall_precision(ray_session, corpus):
+    df, truth = corpus
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+    pairs = minhash_lsh_pairs(
+        ds, num_perm=128, bands=32, shingle_k=3, threshold=0.5
+    ).to_pandas()
+    got = {(min(a, b), max(a, b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, (recall, got)
+    # unrelated random docs shouldn't pair up
+    false_pos = got - truth
+    assert len(false_pos) <= 2, false_pos
+
+
+def test_simhash_identical_and_mutated():
+    sh = SimHasher()
+    a = _doc(100)
+    b = _mutate(a, 3)
+    c = _doc(100)
+    fa, fb, fc = sh.batch_fingerprints([a, b, c])
+    ham = lambda x, y: bin(int(x) ^ int(y)).count("1")
+    # near-dup distance small; unrelated doc clearly above the ≤3 pair
+    # threshold (both docs share the same tiny vocabulary, so their
+    # bag-of-words simhashes are legitimately closer than free text)
+    assert ham(fa, fb) <= 4
+    assert ham(fa, fc) > 6
+    assert ham(fa, fb) < ham(fa, fc)
+
+
+def test_simhash_pairs_pipeline(ray_session, corpus):
+    df, truth = corpus
+    # exact duplicates → hamming 0, must be found
+    dup = df.iloc[:5].copy()
+    dup["doc_id"] = dup["doc_id"] + 1000
+    both = pd.concat([df, dup])
+    ds = rd.from_arrow(pa.Table.from_pandas(both, preserve_index=False)).repartition(4)
+    pairs = simhash_pairs(ds, max_hamming=3).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    for i in range(5):
+        assert (i, 1000 + i) in got
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_ngram_jaccard_matrix():
+    m = ngram_jaccard_matrix(["abcdef", "abcdef", "zzzzzz"], n=3)
+    assert m[0, 1] == 1.0
+    assert m[0, 2] == 0.0
+    assert np.allclose(np.diag(m), 1.0)
+
+
+@pytest.fixture(scope="module")
+def embeddings():
+    n, d = 400, 32
+    emb = RNG.standard_normal((n, d)).astype(np.float32)
+    # plant near-dups: 390..399 are tiny perturbations of 0..9
+    emb[390:400] = emb[0:10] + 0.01 * RNG.standard_normal((10, d)).astype(np.float32)
+    return pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": list(emb), "label": np.zeros(n, np.int32)}
+    ), emb
+
+
+def test_embedding_topk_matches_bruteforce(ray_session, embeddings):
+    df, emb = embeddings
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+    q = emb[:3].astype(np.float64)
+    got = embedding_topk(ds, q, k=5)
+    # exact reference
+    e = emb.astype(np.float64)
+    en = e / np.linalg.norm(e, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ en.T
+    for qid in range(3):
+        order = np.lexsort((np.arange(len(en)), -np.round(sims[qid], 6)))[:5]
+        want_ids = order.tolist()
+        got_ids = got[got["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert got_ids == want_ids, qid
+    # self should be rank 1 with score 1.0
+    assert got[(got["query_id"] == 0) & (got["rank"] == 1)]["vec_id"].iloc[0] == 0
+
+
+def test_embedding_near_dup(ray_session, embeddings):
+    df, emb = embeddings
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+    pairs = embedding_near_dup_pairs(ds, threshold=0.99).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    for i in range(10):
+        assert (i, 390 + i) in got, (i, got)
+    assert (pairs["cosine"] >= 0.99).all()
+
+
+def test_embedding_lsh_bucket_recall(ray_session, embeddings):
+    df, emb = embeddings
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+    out = embedding_lsh_buckets(ds, n_planes=8).to_pandas().set_index("vec_id")
+    same = sum(
+        out.loc[i, "lsh_bucket"] == out.loc[390 + i, "lsh_bucket"] for i in range(10)
+    )
+    assert same >= 8  # near-identical vectors mostly share buckets
+
+
+def test_embedding_real_table(ray_session):
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = ds.take(3)
+    q = np.stack([r["embedding"] for r in rows])
+    got = embedding_topk(ds, q, k=4)
+    assert len(got) == 12
+    for qid, r in enumerate(rows):
+        top = got[(got["query_id"] == qid) & (got["rank"] == 1)]
+        assert top["vec_id"].iloc[0] == r["vec_id"]
+
+
+# --- multimodal plumbing ---
+
+
+def test_media_stub_raises(ray_session):
+    ds = rd.from_arrow(make_fake_media_table(8))
+    with pytest.raises(Exception) as ei:
+        decode_media(ds, decoder="stub").materialize()
+    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+
+
+def test_media_fake_decode(ray_session):
+    ds = rd.from_arrow(make_fake_media_table(32))
+    out = decode_media(ds, decoder="fake", batch_size=8).to_pandas()
+    assert len(out) == 32
+    assert set(["width", "height", "channels", "features"]) <= set(out.columns)
+    assert out["width"].between(1, 1920).all()
+    feats = np.stack(out["features"])
+    assert feats.shape == (32, 16)
+    assert np.allclose(feats.sum(axis=1), 1.0, atol=1e-6)
+    # deterministic: same input → same features
+    out2 = decode_media(
+        rd.from_arrow(make_fake_media_table(32)), decoder="fake", batch_size=8
+    ).to_pandas()
+    assert np.allclose(np.stack(out2["features"]), feats)
