@@ -97,6 +97,7 @@ def mark_duplicates(
     mark_col: str = "is_duplicate",
     seeds: tuple[int, int] = (SEED_A, SEED_B),
     shards: list | None = None,
+    materialize: bool = False,
 ) -> MarkResult:
     """Mark duplicate turns with a partitioned Bloom filter.
 
@@ -104,6 +105,15 @@ def mark_duplicates(
     scope='conversation' prepends conv_id to the key — the analog of the
     reference's per-template grouping (each conversation dedups its own
     turns). ``shards`` lets a resumable driver pass pre-loaded actors.
+
+    CONSUME-ONCE CONTRACT: the marking stage mutates shard-actor state, so
+    the marked dataset must execute exactly once — Ray re-executes a lazy
+    Dataset on every consumption, and a second pass would re-insert every
+    key and mark everything duplicate. Either (a) consume ``result.marked``
+    / ``result.dataset`` with a single ``write_parquet`` / ``iter_batches``
+    / aggregation, or (b) pass ``materialize=True`` to pin the marked blocks
+    (bounded by input size — right for wave/validation scale) and consume
+    freely afterwards.
     """
     if scope == "conversation":
         key_cols = ("text", "conv_id") if "conv_id" not in key_cols else key_cols
@@ -155,6 +165,8 @@ def mark_duplicates(
         return t.set_column(i, mark_col, new).drop_columns([KEY_H1, KEY_H2])
 
     marked = marked.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    if materialize:
+        marked = marked.materialize()
 
     out = marked
     if remove_duplicates:
@@ -196,6 +208,10 @@ def compute_metrics(
     One aggregation pass for the counters; CONVERSATIONS is exact (a distinct
     shuffle — fine at validation scale) or an HLL estimate (the 10^12-turn
     path) when ``exact_conversations=False``.
+
+    ``marked`` must be a MATERIALIZED (or written-and-reread) marked dataset
+    — this function consumes it twice, and a lazy bloom-marking plan must
+    never execute twice (see mark_duplicates' consume-once contract).
     """
     from ray.data.aggregate import Count, Sum
 

@@ -33,6 +33,8 @@ Three building blocks:
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -116,11 +118,31 @@ class _BloomShard:
             self.bf = BloomFilter(p, capacity, seeds=seeds)
         self.keys_seen = 0
         self.dups = 0
+        self._cache: dict = {}
 
-    def add(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    _CACHE_MAX = 1024
+
+    def add(
+        self, h1: np.ndarray, h2: np.ndarray, batch_key: int | None = None
+    ) -> np.ndarray:
+        """Insert a routed slice; returns was_new.
+
+        ``batch_key`` is a content hash of the slice: a Ray task retry
+        re-sends the identical slice, and replaying the cached verdict keeps
+        the retry from marking its own rows as duplicates of themselves
+        (SURVEY.md §7.3 "exactness under retries"). The cache is bounded;
+        callers must still consume the marked dataset exactly once
+        (materialize or write) — full re-executions are not replays.
+        """
+        if batch_key is not None and batch_key in self._cache:
+            return self._cache[batch_key]
         was_new = self.bf.add_hashed(h1, h2)
         self.keys_seen += len(h1)
         self.dups += int((~was_new).sum())
+        if batch_key is not None:
+            if len(self._cache) >= self._CACHE_MAX:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[batch_key] = was_new
         return was_new
 
     def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
@@ -220,7 +242,11 @@ class BloomMarkStage:
                 if lo == hi:
                     continue
                 rows = idx_sorted[lo:hi]
-                futures.append(self.shards[s].add.remote(h1[rows], h2[rows]))
+                # process-independent content key for retry replay
+                bkey = int.from_bytes(
+                    hashlib.blake2b(h1[rows].tobytes(), digest_size=8).digest(), "big"
+                )
+                futures.append(self.shards[s].add.remote(h1[rows], h2[rows], bkey))
                 spans.append(rows)
             for rows, was_new in zip(spans, ray.get(futures)):
                 is_dup[rows] = ~was_new

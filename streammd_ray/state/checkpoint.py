@@ -1,0 +1,224 @@
+"""Checkpoint / resume / lineage for the dedup pipeline (north_rule:
+"resumable from checkpoint with per-partition lineage + metrics").
+
+The reference engine is single-pass-or-nothing (SURVEY.md §4.1); this module
+adds the piece a multi-node run needs. Model:
+
+- The input file list is split into **waves** of ``wave_size`` files. Each
+  wave runs as one streaming Dataset pass through the SAME long-lived Bloom
+  shard actors (so cross-wave duplicates are still caught), writing its
+  output partition to ``out_dir/wave-{i}`` atomically (tmp dir + rename).
+- After each wave the driver snapshots: every shard's serialized filter
+  (``shards/wave-{i}/shard-{j}.bloom``), the wave's counter metrics, an HLL
+  over conv_id (mergeable across waves — CONVERSATIONS without a global
+  distinct), and a lineage record (files, config, engine + hasher versions)
+  into ``manifest.json`` (written atomically).
+- On resume, completed waves are skipped; shard actors are re-loaded from
+  the last completed wave's snapshot, so re-processing an unfinished wave
+  re-inserts only keys that wave had added — Bloom re-insert is idempotent
+  for membership (SURVEY.md §4.2 retry note), and its output directory is
+  rewritten wholesale.
+
+This is the "partitioned parquet output + manifest of completed partitions"
+layout the scale guidance calls for — a failed 100-TB run resumes at wave
+granularity instead of restarting.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from ..sketches.hll import HyperLogLog
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2, default=str)
+    os.replace(tmp, path)
+
+
+def _load_manifest(ckpt_dir: str) -> dict | None:
+    path = os.path.join(ckpt_dir, "manifest.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def run_with_checkpoint(
+    input_files: list[str],
+    *,
+    ckpt_dir: str,
+    out_dir: str,
+    wave_size: int = 8,
+    p: float = 1e-6,
+    mem: str | None = None,
+    total_capacity: int | None = None,
+    num_shards: int = 8,
+    key_cols: tuple[str, ...] = ("text",),
+    scope: str = "global",
+    remove_duplicates: bool = False,
+    allow_overcapacity: bool = False,
+) -> dict:
+    """Run (or resume) the checkpointed mark-duplicates job. Returns the
+    final manifest including accumulated metrics."""
+    import ray
+    import ray.data as rd
+
+    from .. import __version__
+    from ..hashing import HASHER_ID
+    from ..pipelines.mark_duplicates import mark_duplicates
+    from ..stages.dedup import make_shard_actors
+
+    input_files = sorted(input_files)
+    waves = [
+        input_files[i : i + wave_size] for i in range(0, len(input_files), wave_size)
+    ]
+    os.makedirs(ckpt_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    config = {
+        "p": p,
+        "mem": mem,
+        "total_capacity": total_capacity,
+        "num_shards": num_shards,
+        "key_cols": list(key_cols),
+        "scope": scope,
+        "remove_duplicates": remove_duplicates,
+        "engine_version": __version__,
+        "hasher": HASHER_ID,
+    }
+
+    manifest = _load_manifest(ckpt_dir)
+    if manifest is not None:
+        if manifest["config"] != config or manifest["input_files"] != input_files:
+            raise ValueError(
+                "checkpoint config/input mismatch — refusing to resume; "
+                "use a fresh ckpt_dir"
+            )
+    else:
+        manifest = {
+            "run_id": str(uuid.uuid4()),
+            "config": config,
+            "input_files": input_files,
+            "n_waves": len(waves),
+            "waves": {},
+        }
+
+    shards = make_shard_actors(
+        num_shards, p=p, total_capacity=total_capacity, mem=mem
+    )
+
+    # resume: restore shard state from the last completed wave
+    done = sorted(int(k) for k, v in manifest["waves"].items() if v["status"] == "done")
+    last_done = done[-1] if done else None
+    if last_done is not None:
+        state_dir = os.path.join(ckpt_dir, "shards", f"wave-{last_done}")
+        futures = []
+        for j, s in enumerate(shards):
+            with open(os.path.join(state_dir, f"shard-{j}.bloom"), "rb") as f:
+                futures.append(s.load.remote(f.read()))
+        ray.get(futures)
+
+    from ray.data.aggregate import Count, Sum
+
+    for i, files in enumerate(waves):
+        if str(i) in manifest["waves"] and manifest["waves"][str(i)]["status"] == "done":
+            continue
+        ds = rd.read_parquet(files)
+        # materialize=True: the wave executes the marking pass exactly once
+        # (consume-once contract) and the pinned blocks feed the write, the
+        # metrics aggregation and the conv-HLL below. Wave memory footprint
+        # is bounded by wave_size — that's the knob.
+        res = mark_duplicates(
+            ds,
+            key_cols=key_cols,
+            scope=scope,
+            p=p,
+            mem=mem,
+            total_capacity=total_capacity,
+            remove_duplicates=remove_duplicates,
+            shards=shards,
+            materialize=True,
+        )
+
+        wave_out = os.path.join(out_dir, f"wave-{i}")
+        tmp_out = wave_out + ".tmp"
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        shutil.rmtree(wave_out, ignore_errors=True)
+        res.dataset.write_parquet(tmp_out)
+
+        # wave metrics in one aggregation pass + a mergeable conv HLL
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def flags(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "__null": pc.cast(pc.is_null(t["text"]), pa.int64()),
+                    "__dup": pc.cast(t["is_duplicate"], pa.int64()),
+                }
+            )
+
+        agg = res.marked.map_batches(
+            flags, batch_format="pyarrow", zero_copy_batch=True
+        ).aggregate(
+            Count(alias_name="turns"),
+            Sum("__null", alias_name="nulls"),
+            Sum("__dup", alias_name="dups"),
+        )
+        from ..stages.sketch_agg import sketch_column
+
+        conv_hll = sketch_column(res.marked, "conv_id", HyperLogLog())
+
+        res.check_capacity(allow_overcapacity=allow_overcapacity)
+
+        # snapshot shard states
+        state_dir = os.path.join(ckpt_dir, "shards", f"wave-{i}")
+        os.makedirs(state_dir, exist_ok=True)
+        states = ray.get([s.state.remote() for s in shards])
+        for j, b in enumerate(states):
+            tmp = os.path.join(state_dir, f"shard-{j}.bloom.tmp")
+            with open(tmp, "wb") as f:
+                f.write(b)
+            os.replace(tmp, os.path.join(state_dir, f"shard-{j}.bloom"))
+        # keep only the latest snapshot to bound checkpoint size
+        if i > 0:
+            prev = os.path.join(ckpt_dir, "shards", f"wave-{i - 1}")
+            shutil.rmtree(prev, ignore_errors=True)
+
+        os.replace(tmp_out, wave_out)
+        manifest["waves"][str(i)] = {
+            "status": "done",
+            "files": files,
+            "output": wave_out,
+            "metrics": {
+                "turns": int(agg["turns"]),
+                "nulls": int(agg["nulls"]),
+                "dups": int(agg["dups"]),
+            },
+            "conv_hll": conv_hll.to_bytes().hex(),
+        }
+        _atomic_write_json(os.path.join(ckpt_dir, "manifest.json"), manifest)
+
+    # final metrics: sum counters, merge conv HLLs across waves
+    turns = sum(w["metrics"]["turns"] for w in manifest["waves"].values())
+    nulls = sum(w["metrics"]["nulls"] for w in manifest["waves"].values())
+    dups = sum(w["metrics"]["dups"] for w in manifest["waves"].values())
+    hll = HyperLogLog()
+    for w in manifest["waves"].values():
+        hll.merge(HyperLogLog.from_bytes(bytes.fromhex(w["conv_hll"])))
+    denom = turns - nulls
+    manifest["metrics"] = {
+        "TURNS": turns,
+        "TURNS_NULL_TEXT": nulls,
+        "TURNS_MARKED_DUPLICATE": dups,
+        "CONVERSATIONS": round(hll.estimate()),
+        "TURN_DUPLICATE_FRACTION": round(dups / denom, 4) if denom else 0.0,
+    }
+    _atomic_write_json(os.path.join(ckpt_dir, "manifest.json"), manifest)
+    return manifest

@@ -46,7 +46,7 @@ def test_bloom_mark_counts_match_truth(ray_session, fixture_table):
 
 def test_bloom_metrics(ray_session, fixture_table):
     path, truth = fixture_table
-    res = mark_duplicates(rd.read_parquet(path), p=1e-9, num_shards=4)
+    res = mark_duplicates(rd.read_parquet(path), p=1e-9, num_shards=4, materialize=True)
     m = compute_metrics(res.marked)
     assert m["TURNS"] == len(truth)
     assert m["TURNS_NULL_TEXT"] == int(truth["text"].isna().sum())
