@@ -175,11 +175,14 @@ def derive_transcripts(sf_dir: str, *, ray_remote_args: dict | None = None):
                 schema=TRANSCRIPTS_SCHEMA,
             )
 
+    # autoscaling pool: a fixed-size pool can deadlock a small CPU budget
+    # when composed with downstream stateful stages (each fixed pool
+    # pre-reserves its CPUs; (1, N) acquires lazily)
     return ds.map_batches(
         AttachText,
         batch_format="pandas",
         fn_constructor_kwargs={"texts_ref": texts_ref, "ndocs": ndocs},
-        concurrency=2,
+        concurrency=(1, 4),
         **(ray_remote_args or {}),
     )
 
