@@ -236,8 +236,12 @@ def compute_metrics(
     dups = int(agg["dups"])
 
     if exact_conversations:
-        convs = marked.select_columns([conv_col]).unique(conv_col)
-        n_convs = len(convs)
+        n_convs = (
+            marked.select_columns([conv_col])
+            .groupby(conv_col)
+            .aggregate(Count(alias_name="n"))
+            .count()
+        )
     else:
         from ..sketches.hll import HyperLogLog
         from ..stages.sketch_agg import sketch_column

@@ -51,7 +51,7 @@ def exact_quantile_disc(ds, col: str, qs: tuple[float, ...]) -> list:
     n = int(cum[-1])
     out = []
     for q in qs:
-        rank = int(np.floor((n - 1) * q))
+        rank = max(0, int(np.ceil(q * n)) - 1)  # DuckDB quantile_disc rank rule
         out.append(values[np.searchsorted(cum, rank + 1, side="left")])
     return out
 
@@ -164,8 +164,12 @@ FROM transcripts"""
 
 
 def q_distinct_conversations_exact(sf_dir: str):
+    from ray.data.aggregate import Count
+
     ds = derive_transcripts(sf_dir).select_columns(["conv_id"])
-    n = len(ds.unique("conv_id"))
+    # distinct via groupby-count (one hash shuffle of the key column);
+    # ds.unique() in this Ray version trips on arrow-string blocks
+    n = ds.groupby("conv_id").aggregate(Count(alias_name="n")).count()
     return _one_row({"n_conversations": int(n)})
 
 
@@ -447,6 +451,14 @@ def q_embedding_near_dup(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     pairs = embedding_near_dup_pairs(ds, threshold=0.5)
     df = pairs.to_pandas()
+    if df.empty:  # an empty Dataset drops its schema through to_pandas
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=np.int64),
+                "id_b": pd.Series(dtype=np.int64),
+                "cosine": pd.Series(dtype=np.float64),
+            }
+        )
     df["cosine"] = df["cosine"].round(5)
     return df.astype({"id_a": np.int64, "id_b": np.int64})
 
