@@ -87,9 +87,12 @@ def add_key_columns(
         null_mask = np.asarray(pc.is_null(key))
         h1 = h1.copy()
         h1[null_mask] = 0
-        return batch.append_column(KEY_H1, pa.array(h1, pa.uint64())).append_column(
-            KEY_H2, pa.array(h2, pa.uint64())
-        )
+        # stored as int64 bit-patterns: Ray's hash-shuffle aggregations round-
+        # trip int64 through Arrow cleanly, while uint64 > 2^63 falls back to
+        # pickled Python objects (stages view back to uint64 for arithmetic)
+        return batch.append_column(
+            KEY_H1, pa.array(h1.view(np.int64), pa.int64())
+        ).append_column(KEY_H2, pa.array(h2.view(np.int64), pa.int64()))
 
     return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -224,8 +227,8 @@ class BloomMarkStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
 
-        h1 = np.asarray(batch[KEY_H1].combine_chunks(), dtype=np.uint64)
-        h2 = np.asarray(batch[KEY_H2].combine_chunks(), dtype=np.uint64)
+        h1 = np.asarray(batch[KEY_H1].combine_chunks(), dtype=np.int64).view(np.uint64)
+        h2 = np.asarray(batch[KEY_H2].combine_chunks(), dtype=np.int64).view(np.uint64)
         n = len(h1)
         is_dup = np.zeros(n, dtype=bool)
         nonnull = h1 != 0
@@ -265,19 +268,28 @@ def dedup_exact_first(
     order_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     mark_col: str = "is_duplicate",
     drop_key_cols: bool = True,
+    strategy: str = "join",
+    num_partitions: int = 16,
 ):
     """Exact first-seen-wins duplicate marking, deterministic under any
     partition layout: first = min(order_cols) per distinct key.
 
-    Physical plan: hash keys (so the shuffle moves a uint64, not full text) →
-    ``groupby(h1)`` → within each hash group, exact compare on the real key
-    columns (hash collisions are resolved, not trusted) → mark all but the
-    order-min row of each distinct key. Null-key rows are salted across
-    groups by row identity so the null 2% doesn't become one giant group.
+    strategy='join' (default, the scale path): shuffle only the 128-bit key
+    hash + an order-encoded rank string — ``groupby(h1,h2).Min(rank)`` then a
+    hash join back; fully vectorized, no per-group Python. Key identity is
+    the 128-bit hash (collision probability ~2^-128 — the standard
+    content-hash dedup assumption).
+
+    strategy='groups': ``groupby(h1)`` + per-group pandas with exact
+    real-key comparison (resolves even 64-bit collisions); slower due to
+    per-group overhead — the validation-scale reference implementation.
+
+    Null-key rows are salted across groups by row identity so the null
+    fraction doesn't become one giant group; they are never marked.
     """
 
     def salt_nulls(batch: pa.Table) -> pa.Table:
-        h1 = np.asarray(batch[KEY_H1].combine_chunks(), dtype=np.uint64)
+        h1 = np.asarray(batch[KEY_H1].combine_chunks(), dtype=np.int64).view(np.uint64)
         if (h1 == 0).any():
             salt, _ = hash_pair_batch(
                 pc.binary_join_element_wise(
@@ -291,7 +303,9 @@ def dedup_exact_first(
         else:
             null_flag = np.zeros(len(h1), dtype=bool)
         return batch.set_column(
-            batch.schema.get_field_index(KEY_H1), KEY_H1, pa.array(h1, pa.uint64())
+            batch.schema.get_field_index(KEY_H1),
+            KEY_H1,
+            pa.array(h1.view(np.int64), pa.int64()),
         ).append_column("__key_null", pa.array(null_flag))
 
     ds = add_key_columns(ds, key_cols)
@@ -299,6 +313,47 @@ def dedup_exact_first(
 
     key_list = list(key_cols)
     order_list = list(order_cols)
+
+    if strategy == "join":
+        # order-encoded rank whose lexicographic order == (order_cols) tuple
+        # order: first col (string) + NUL + zero-filled numeric second col
+        def add_rank(t: pa.Table) -> pa.Table:
+            rank = pc.binary_join_element_wise(
+                pc.cast(t[order_cols[0]].combine_chunks(), pa.string()),
+                pc.utf8_lpad(
+                    pc.cast(t[order_cols[1]].combine_chunks(), pa.string()),
+                    12,
+                    "0",
+                ),
+                "\x00",
+            )
+            return t.append_column("__rank", rank)
+
+        from ray.data.aggregate import Min
+
+        keyed = ds.map_batches(add_rank, batch_format="pyarrow", zero_copy_batch=True)
+        mins = keyed.groupby([KEY_H1, KEY_H2]).aggregate(
+            Min("__rank", alias_name="__min_rank")
+        )
+        joined = keyed.join(
+            mins,
+            "inner",
+            num_partitions=num_partitions,
+            on=(KEY_H1, KEY_H2),
+        )
+
+        def mark(t: pa.Table) -> pa.Table:
+            dup = pc.and_(
+                pc.invert(t["__key_null"].combine_chunks()),
+                pc.not_equal(
+                    t["__rank"].combine_chunks(), t["__min_rank"].combine_chunks()
+                ),
+            )
+            return t.append_column(mark_col, dup)
+
+        out = joined.map_batches(mark, batch_format="pyarrow", zero_copy_batch=True)
+        drop = [KEY_H1, KEY_H2, "__key_null", "__rank", "__min_rank"]
+        return out.drop_columns(drop)
 
     def mark_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_list, kind="stable")
