@@ -25,7 +25,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "2000000"))
+BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "8000000"))
 BENCH_DIR = f"/tmp/streammd_bench/transcripts-{BENCH_TURNS}"
 
 
@@ -47,16 +47,15 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
-def headline(num_shards: int, mark_concurrency: int) -> tuple[float, int]:
-    """Bloom-mark 2M synthetic turns + merge the marked count; returns
-    (seconds, n_rows). One streaming pass, consumed by the metrics
+def headline(num_shards: int, mark_concurrency) -> tuple[float, int]:
+    """Bloom-mark the synthetic turns + merge the marked count; returns
+    (n_rows, n_dups). One streaming pass, consumed by the metrics
     aggregation (no materialization of the table)."""
-    import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
 
     from streammd_ray.pipelines.mark_duplicates import mark_duplicates
+    from streammd_ray.stages.sketch_agg import global_counts
 
     ds = rd.read_parquet(ensure_bench_data())
     res = mark_duplicates(
@@ -65,19 +64,15 @@ def headline(num_shards: int, mark_concurrency: int) -> tuple[float, int]:
         mem="256MiB",
         num_shards=num_shards,
         mark_concurrency=mark_concurrency,
-        batch_size=65536,
+        batch_size=32768,
     )
-
-    def flags(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "__dup": pc.cast(t["is_duplicate"], pa.int64()),
-            }
-        )
-
-    agg = res.marked.map_batches(
-        flags, batch_format="pyarrow", zero_copy_batch=True
-    ).aggregate(Count(alias_name="n"), Sum("__dup", alias_name="dups"))
+    agg = global_counts(
+        res.marked,
+        {
+            "n": lambda t: len(t),
+            "dups": lambda t: int(pc.sum(pc.cast(t["is_duplicate"], "int64")).as_py()),
+        },
+    )
     return int(agg["n"]), int(agg["dups"])
 
 
@@ -111,7 +106,7 @@ def sketch_pass() -> dict:
             "len_td": ("len", TDigest()),
             "len_kll": ("len", KLL()),
         },
-        concurrency=(1, max(2, NUM_CPUS - 4)),
+        concurrency=(max(2, NUM_CPUS - 4), max(2, NUM_CPUS - 4)),
     )
     return {
         "convs_est": round(merged["convs"].estimate()),
@@ -171,8 +166,15 @@ def single_run() -> dict:
             pq.read_metadata(p)
 
         num_shards = max(4, NUM_CPUS // 4)
+        # fixed-size mark pool: shards cost ceil(num_shards/4) CPUs; leave 2
+        # CPUs for read/finish tasks so nothing starves
+        pool = max(2, NUM_CPUS - (num_shards + 3) // 4 - 2)
+        # untimed warmup: spawns worker processes, pays imports and the
+        # first-read page cache, so the timed runs measure compute + shuffle
+        headline(num_shards, mark_concurrency=(pool, pool))
+        sketch_pass()
         t_mark, (n_rows, n_dups) = timed(
-            lambda: headline(num_shards, mark_concurrency=max(2, NUM_CPUS - num_shards // 2))
+            lambda: headline(num_shards, mark_concurrency=(pool, pool))
         )
         t_sketch, sk = timed(sketch_pass)
         qt = run_queries()

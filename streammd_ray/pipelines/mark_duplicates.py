@@ -140,16 +140,23 @@ def mark_duplicates(
         )
 
     keyed = add_key_columns(ds, key_cols, seeds=seeds)
-    # Autoscaling (1, N) pool: the mark stage itself is stateless (all state
-    # lives in the shard actors), so pool size affects throughput only — and
-    # (1, N) can't deadlock with the shard actors' CPU reservations.
+    # The mark stage itself is stateless (all state lives in the shard
+    # actors), so pool size affects throughput only. Default is an
+    # autoscaling (1, N) pool, which can't deadlock with the shard actors'
+    # CPU reservations on small budgets; benchmarks pass an explicit
+    # (min, max) tuple to skip the ramp-up.
+    concurrency = (
+        mark_concurrency
+        if isinstance(mark_concurrency, tuple)
+        else (1, mark_concurrency)
+    )
     marked = keyed.map_batches(
         BloomMarkStage,
         fn_constructor_kwargs={"shards": shards, "mark_col": mark_col},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=(1, mark_concurrency),
+        concurrency=concurrency,
     )
 
     def finish(t: pa.Table) -> pa.Table:
@@ -213,29 +220,25 @@ def compute_metrics(
     — this function consumes it twice, and a lazy bloom-marking plan must
     never execute twice (see mark_duplicates' consume-once contract).
     """
-    from ray.data.aggregate import Count, Sum
+    from ..stages.sketch_agg import global_counts
 
-    def flags(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "__null": pc.cast(pc.is_null(t[content_col]), pa.int64()),
-                "__dup": pc.cast(t[mark_col], pa.int64()),
-            }
-        )
-
-    agg = (
-        marked.map_batches(flags, batch_format="pyarrow", zero_copy_batch=True)
-        .aggregate(
-            Count(alias_name="turns"),
-            Sum("__null", alias_name="nulls"),
-            Sum("__dup", alias_name="dups"),
-        )
+    agg = global_counts(
+        marked,
+        {
+            "turns": lambda t: len(t),
+            "nulls": lambda t: int(
+                pc.sum(pc.cast(pc.is_null(t[content_col]), "int64")).as_py() or 0
+            ),
+            "dups": lambda t: int(
+                pc.sum(pc.cast(t[mark_col], "int64")).as_py() or 0
+            ),
+        },
     )
-    turns = int(agg["turns"])
-    nulls = int(agg["nulls"])
-    dups = int(agg["dups"])
+    turns, nulls, dups = int(agg["turns"]), int(agg["nulls"]), int(agg["dups"])
 
     if exact_conversations:
+        from ray.data.aggregate import Count
+
         n_convs = (
             marked.select_columns([conv_col])
             .groupby(conv_col)

@@ -591,6 +591,270 @@ def sql_events_windowed() -> str:
 FROM events GROUP BY event_type, date_trunc('hour', ts)"""
 
 
+
+# ---------------------------------------------------------------------------
+# joins / windows / sessions over the relational tables
+# ---------------------------------------------------------------------------
+
+
+def q_customer_by_region(sf_dir: str):
+    """Broadcast dimension join: nation+region (tiny) are ray.put once and
+    looked up per batch — no shuffle touches the fact table."""
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    nat2reg = dict(
+        zip(
+            nation["n_nationkey"],
+            nation["n_regionkey"].map(
+                dict(zip(region["r_regionkey"], region["r_name"]))
+            ),
+        )
+    )
+    ref = ray.put(nat2reg)
+
+    class Attach:
+        def __init__(self, ref):
+            self.m = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
+            names = np.array([self.m[k] for k in keys], dtype=object)
+            return pa.table({"r_name": pa.array(names, pa.string())})
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    out = ds.map_batches(
+        Attach,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return out.groupby("r_name").aggregate(Count(alias_name="n_customers"))
+
+
+def sql_customer_by_region() -> str:
+    return """SELECT r.r_name, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name"""
+
+
+def q_orders_per_segment(sf_dir: str):
+    """Large-large hash join: orders ⋈ customer via Dataset.join
+    (hash-partitioned on the key), then a grouped aggregate."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.join(
+        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(
+            Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+        )
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out
+
+
+def sql_orders_per_segment() -> str:
+    return """SELECT c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue,
+  count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment"""
+
+
+def q_top_orders(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def sql_top_orders() -> str:
+    return """SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+
+
+def q_sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    """Gap-based sessionization (the streaming-shaped op): events are an
+    ordered per-user log; a >gap silence starts a new session. Shuffle on
+    user_id only; windowing is a per-group vectorized pandas pass."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts = g["ts"].astype("int64").to_numpy()
+        new = np.ones(len(g), dtype=np.int64)
+        new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        g["session_id"] = np.cumsum(new)
+        return g[["event_id", "user_id", "session_id"]]
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+def sql_sessionize_events() -> str:
+    return """SELECT event_id, user_id,
+  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+FROM (
+  SELECT event_id, user_id, ts,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+)"""
+
+
+def q_conv_rolling_stats(sf_dir: str, window: int = 3):
+    """Per-conversation rolling mean of turn length over the last 3 turns —
+    the windowed-aggregate analog over the ordered transcript log."""
+    ds = transcripts_ds(sf_dir, columns=["conv_id", "turn_idx", "text"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx", kind="stable")
+        ln = g["text"].str.len().astype("float64")
+        g["rolling_mean_len"] = ln.rolling(window, min_periods=1).mean().round(4)
+        return g[["conv_id", "turn_idx", "rolling_mean_len"]]
+
+    return ds.groupby("conv_id").map_groups(roll, batch_format="pandas")
+
+
+def sql_conv_rolling_stats() -> str:
+    return f"""{T_CTE}
+SELECT conv_id, turn_idx,
+  round(avg(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling_mean_len
+FROM transcripts"""
+
+
+def q_events_asof_signup(sf_dir: str):
+    """As-of self-join: each event gets the user's most recent signup ts at
+    or before it (sorted per-user pass — merge_asof semantics)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts64 = g["ts"].astype("int64").to_numpy()
+        # NaT is int64-min, so maximum.accumulate over the sentinel IS the
+        # carry-forward as-of semantics
+        sv = np.where(
+            g["event_type"].to_numpy() == "signup", ts64, np.iinfo(np.int64).min
+        )
+        g["last_signup_ts"] = np.maximum.accumulate(sv).view("datetime64[us]")
+        return g[["event_id", "user_id", "last_signup_ts"]]
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
+def sql_events_asof_signup() -> str:
+    return """SELECT event_id, user_id,
+  max(CASE WHEN event_type = 'signup' THEN ts END)
+    OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS last_signup_ts
+FROM events"""
+
+
+def q_event_value_quantiles(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    p50, p90, p99 = exact_quantile_disc(ds, "value", (0.5, 0.9, 0.99))
+    return _one_row(
+        {"p50": float(p50), "p90": float(p90), "p99": float(p99)}
+    )
+
+
+def sql_event_value_quantiles() -> str:
+    return """SELECT quantile_disc(value, 0.5) AS p50,
+  quantile_disc(value, 0.9) AS p90,
+  quantile_disc(value, 0.99) AS p99
+FROM events"""
+
+
+def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
+    """Exact char-trigram Jaccard near-dup pairs over documents, restricted
+    to minhash-LSH candidates (the scale pattern: sketch candidates → exact
+    verify)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import _char_ngrams, minhash_lsh_pairs
+
+    cands = minhash_lsh_pairs(
+        _docs(sf_dir), num_perm=128, bands=32, shingle_k=3, threshold=0.5
+    ).to_pandas()
+    if cands.empty:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=np.int64),
+                "id_b": pd.Series(dtype=np.int64),
+                "jaccard": pd.Series(dtype=np.float64),
+            }
+        )
+    texts = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pandas().set_index("doc_id")["text"]
+    rows = []
+    for a, b in zip(cands["id_a"], cands["id_b"]):
+        sa, sb = _char_ngrams(texts[a], 3), _char_ngrams(texts[b], 3)
+        u = len(sa | sb)
+        j = len(sa & sb) / u if u else 0.0
+        if j >= threshold:
+            rows.append((int(a), int(b), round(j, 6)))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]).astype(
+        {"id_a": np.int64, "id_b": np.int64, "jaccard": np.float64}
+    )
+
+
+def q_embedding_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate NN: same output shape as embedding_knn but
+    candidates restricted to the query's hyperplane bucket (scale path);
+    falls back to global top-k when a bucket is sparse. No oracle — the ANN
+    recall-vs-bruteforce property is asserted in tests."""
+    import ray.data as rd
+
+    from ..stages.similarity import embedding_lsh_buckets, embedding_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    bucketed = embedding_lsh_buckets(ds, n_planes=8)
+    qrows = sorted(bucketed.take(3), key=lambda r: r["vec_id"])
+    out = []
+    for r in qrows:
+        if r["vec_id"] >= 3:
+            continue
+        same = bucketed.filter(
+            lambda row, b=r["lsh_bucket"]: row["lsh_bucket"] == b
+        )
+        got = embedding_topk(same, np.stack([r["embedding"]]), k=5)
+        got["query_id"] = int(r["vec_id"])
+        out.append(got)
+    return pd.concat(out).reset_index(drop=True)
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -620,6 +884,15 @@ QUERIES = {
     "media_features": q_media_features,
     "q1_lineitem": q_q1_lineitem,
     "events_windowed": q_events_windowed,
+    "customer_by_region": q_customer_by_region,
+    "orders_per_segment": q_orders_per_segment,
+    "top_orders": q_top_orders,
+    "sessionize_events": q_sessionize_events,
+    "conv_rolling_stats": q_conv_rolling_stats,
+    "events_asof_signup": q_events_asof_signup,
+    "event_value_quantiles": q_event_value_quantiles,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
 }
 
 ORACLES = {
@@ -640,4 +913,11 @@ ORACLES = {
     "embedding_near_dup": sql_embedding_near_dup(),
     "q1_lineitem": sql_q1_lineitem(),
     "events_windowed": sql_events_windowed(),
+    "customer_by_region": sql_customer_by_region(),
+    "orders_per_segment": sql_orders_per_segment(),
+    "top_orders": sql_top_orders(),
+    "sessionize_events": sql_sessionize_events(),
+    "conv_rolling_stats": sql_conv_rolling_stats(),
+    "events_asof_signup": sql_events_asof_signup(),
+    "event_value_quantiles": sql_event_value_quantiles(),
 }

@@ -282,16 +282,18 @@ def generate_transcripts(
     texts[nulls] = None
 
     # ground truth first-seen-wins on the final text bytes, in row order
-    # (row order here IS stable (conv_id, turn_idx) order by construction)
-    seen: dict = {}
-    truth = np.zeros(n, dtype=bool)
-    for i, t in enumerate(texts):
-        if t is None:
-            continue
-        if t in seen:
-            truth[i] = True
-        else:
-            seen[t] = i
+    # (row order here IS stable (conv_id, turn_idx) order by construction);
+    # only computed when requested — it's a Python pass over every row
+    if return_truth:
+        seen: dict = {}
+        truth = np.zeros(n, dtype=bool)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            if t in seen:
+                truth[i] = True
+            else:
+                seen[t] = i
 
     base = np.datetime64("2025-01-01T00:00:00", "us")
     gaps = rng.exponential(30_000_000, size=n).astype("timedelta64[us]")

@@ -124,8 +124,6 @@ def run_with_checkpoint(
                 futures.append(s.load.remote(f.read()))
         ray.get(futures)
 
-    from ray.data.aggregate import Count, Sum
-
     for i, files in enumerate(waves):
         if str(i) in manifest["waves"] and manifest["waves"][str(i)]["status"] == "done":
             continue
@@ -152,27 +150,23 @@ def run_with_checkpoint(
         shutil.rmtree(wave_out, ignore_errors=True)
         res.dataset.write_parquet(tmp_out)
 
-        # wave metrics in one aggregation pass + a mergeable conv HLL
-        import pyarrow as pa
+        # wave metrics via per-batch partials (no all-to-all) + mergeable HLL
         import pyarrow.compute as pc
 
-        def flags(t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "__null": pc.cast(pc.is_null(t["text"]), pa.int64()),
-                    "__dup": pc.cast(t["is_duplicate"], pa.int64()),
-                }
-            )
+        from ..stages.sketch_agg import global_counts, sketch_column
 
-        agg = res.marked.map_batches(
-            flags, batch_format="pyarrow", zero_copy_batch=True
-        ).aggregate(
-            Count(alias_name="turns"),
-            Sum("__null", alias_name="nulls"),
-            Sum("__dup", alias_name="dups"),
+        agg = global_counts(
+            res.marked,
+            {
+                "turns": lambda t: len(t),
+                "nulls": lambda t: int(
+                    pc.sum(pc.cast(pc.is_null(t["text"]), "int64")).as_py() or 0
+                ),
+                "dups": lambda t: int(
+                    pc.sum(pc.cast(t["is_duplicate"], "int64")).as_py() or 0
+                ),
+            },
         )
-        from ..stages.sketch_agg import sketch_column
-
         conv_hll = sketch_column(res.marked, "conv_id", HyperLogLog())
 
         res.check_capacity(allow_overcapacity=allow_overcapacity)
