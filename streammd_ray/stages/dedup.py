@@ -327,7 +327,15 @@ def dedup_exact_first(
                 ),
                 "\x00",
             )
-            return t.append_column("__rank", rank)
+            t = t.append_column("__rank", rank)
+            # pyarrow's hash join rejects null-typed payload columns (an
+            # all-null block infers type null); carry them as string
+            for i, f in enumerate(t.schema):
+                if pa.types.is_null(f.type):
+                    t = t.set_column(
+                        i, f.name, pa.nulls(len(t), pa.string())
+                    )
+            return t
 
         from ray.data.aggregate import Min
 
