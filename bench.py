@@ -1,13 +1,16 @@
 """Benchmark harness — prints ONE JSON line with the headline number.
 
-Headline: the flagship single-pass over a deterministic synthetic transcripts
-table (input_hint shape, generated once and cached under /tmp): sharded-Bloom
-duplicate marking + the 4 estimate sketches (HLL conv_id, CMS tool, t-digest
-and KLL over turn length) — reported as seconds and turns/sec.
+Headline (the BASELINE.json metric shape): ONE streaming pass over a
+deterministic synthetic transcripts table (input_hint shape, generated once
+and cached under /tmp) that does sharded-Bloom duplicate marking AND the four
+estimate sketches (HLL conv_id, CMS tool, t-digest + KLL over turn length)
+AND the run counters — reported as seconds and turns/sec. This is the
+"Bloom-filter dedup + 5-sketch aggregation" pipeline, fused the way a
+production run would fuse it (one scan, per-batch sketch partials,
+driver-side tree merge).
 
 Also times a representative query set over $GRAFT_SF_DIR (default
-/root/testdata/sf0.1): transcripts derivation, exact dedup, heavy tools,
-exact quantiles, q1 aggregate.
+/root/testdata/sf0.1).
 
 Usage:
     python bench.py                 # one run at $RAY_GRAFT_CPUS (default 32)
@@ -19,26 +22,45 @@ from __future__ import annotations
 
 import json
 import os
+import pickle
 import subprocess
 import sys
 import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "8000000"))
+BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "16000000"))
+# the scaling criterion needs a job big enough to saturate the low CPU level
+# well past fixed overheads; 4x the plain-bench size
+SCALING_TURNS = int(os.environ.get("SCALING_TURNS", "64000000"))
 BENCH_DIR = f"/tmp/streammd_bench/transcripts-{BENCH_TURNS}"
 
 
-def ensure_bench_data() -> str:
-    marker = os.path.join(BENCH_DIR, "_DONE")
+def _ensure(n_turns: int) -> str:
+    out = f"/tmp/streammd_bench/transcripts-{n_turns}"
+    marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
-        from streammd_ray.sources.transcripts import generate_transcripts
+        import ray
 
-        generate_transcripts(
-            BENCH_DIR, n_turns=BENCH_TURNS, seed=42, dup_frac=0.25, n_files=32
+        from streammd_ray.sources.transcripts import (
+            generate_transcripts,
+            generate_transcripts_parallel,
         )
+
+        if n_turns > 4_000_000 and ray.is_initialized():
+            generate_transcripts_parallel(
+                out, n_turns=n_turns, seed=42, dup_frac=0.25, n_shards=64
+            )
+        else:
+            generate_transcripts(
+                out, n_turns=n_turns, seed=42, dup_frac=0.25, n_files=64
+            )
         open(marker, "w").write("ok")
-    return BENCH_DIR
+    return out
+
+
+def ensure_bench_data() -> str:
+    return _ensure(BENCH_TURNS)
 
 
 def timed(fn):
@@ -47,71 +69,92 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
-def headline(num_shards: int, mark_concurrency) -> tuple[float, int]:
-    """Bloom-mark the synthetic turns + merge the marked count; returns
-    (n_rows, n_dups). One streaming pass, consumed by the metrics
-    aggregation (no materialization of the table)."""
-    import pyarrow.compute as pc
+class BenchTail:
+    """Per-batch tail of the fused flagship pass: derive turn length, insert
+    into fresh per-batch sketch partials, and emit one row per sketch plus a
+    counts row. Runs in the same streaming pass as the Bloom mark stage."""
+
+    def __init__(self, specs_bytes: bytes):
+        self.protos = pickle.loads(specs_bytes)
+
+    def __call__(self, batch):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        lens = pc.cast(
+            pc.fill_null(pc.utf8_length(batch["text"]), 0), pa.float64()
+        ).to_numpy(zero_copy_only=False)
+        names, states = [], []
+        for name, (col, proto) in self.protos.items():
+            sk = pickle.loads(pickle.dumps(proto))
+            if col == "__len":
+                sk.insert_batch(np.asarray(lens, dtype=np.float64))
+            else:
+                sk.insert_batch(batch[col].combine_chunks())
+            names.append(name)
+            states.append(sk.to_bytes())
+        names.append("__counts")
+        n_dups = int(pc.sum(pc.cast(batch["is_duplicate"], "int64")).as_py() or 0)
+        states.append(pickle.dumps((len(batch), n_dups)))
+        return pa.table(
+            {
+                "sketch": pa.array(names, pa.string()),
+                "state": pa.array(states, pa.binary()),
+            }
+        )
+
+
+def headline(num_shards: int, pool: int, data_dir: str | None = None) -> dict:
+    """The fused flagship: read → key-hash → sharded-Bloom mark → sketch
+    partials + counters, one streaming pass; tree-merge on the driver."""
     import ray.data as rd
 
     from streammd_ray.pipelines.mark_duplicates import mark_duplicates
-    from streammd_ray.stages.sketch_agg import global_counts
+    from streammd_ray.sketches import KLL, CountMinSketch, HyperLogLog, TDigest
+    from streammd_ray.stages.sketch_agg import tree_merge
 
-    ds = rd.read_parquet(ensure_bench_data())
+    # 64 fat blocks (one per file): fewer tasks, fewer sketch partials,
+    # larger vectorized batches
+    ds = rd.read_parquet(data_dir or ensure_bench_data(), override_num_blocks=64)
     res = mark_duplicates(
         ds,
         p=1e-6,
         mem="256MiB",
         num_shards=num_shards,
-        mark_concurrency=mark_concurrency,
-        batch_size=32768,
+        mark_concurrency=(min(4, pool), pool),
+        batch_size=131072,
     )
-    agg = global_counts(
-        res.marked,
-        {
-            "n": lambda t: len(t),
-            "dups": lambda t: int(pc.sum(pc.cast(t["is_duplicate"], "int64")).as_py()),
-        },
-    )
-    return int(agg["n"]), int(agg["dups"])
-
-
-def sketch_pass() -> dict:
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import ray.data as rd
-
-    from streammd_ray.sketches import KLL, CountMinSketch, HyperLogLog, TDigest
-    from streammd_ray.stages.sketch_agg import run_sketches
-
-    ds = rd.read_parquet(ensure_bench_data(), columns=["conv_id", "tool", "text"])
-
-    def lens(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "conv_id": t["conv_id"],
-                "tool": t["tool"],
-                "len": pc.cast(
-                    pc.fill_null(pc.utf8_length(t["text"]), 0), pa.float64()
-                ),
-            }
-        )
-
-    ds = ds.map_batches(lens, batch_format="pyarrow", zero_copy_batch=True)
-    merged = run_sketches(
-        ds,
+    specs = pickle.dumps(
         {
             "convs": ("conv_id", HyperLogLog()),
-            "tools": ("tool", CountMinSketch(eps=1e-4, delta=1e-3, track_heavy=8)),
-            "len_td": ("len", TDigest()),
-            "len_kll": ("len", KLL()),
-        },
-        concurrency=(max(2, NUM_CPUS - 4), max(2, NUM_CPUS - 4)),
+            "tools": ("tool", CountMinSketch(eps=1e-3, delta=1e-3, track_heavy=8)),
+            "len_td": ("__len", TDigest()),
+            "len_kll": ("__len", KLL()),
+        }
     )
+    partials = res.marked.map_batches(
+        BenchTail,
+        fn_constructor_kwargs={"specs_bytes": specs},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=262144,
+        concurrency=(2, max(2, min(12, pool))),
+    )
+    by_name: dict[str, list[bytes]] = {}
+    for row in partials.take_all():
+        by_name.setdefault(row["sketch"], []).append(row["state"])
+    counts = [pickle.loads(s) for s in by_name.pop("__counts")]
+    n_rows = sum(c[0] for c in counts)
+    n_dups = sum(c[1] for c in counts)
+    merged = {n: tree_merge(sts) for n, sts in by_name.items()}
     return {
+        "turns": n_rows,
+        "dups_marked": n_dups,
         "convs_est": round(merged["convs"].estimate()),
         "top_tool": merged["tools"].top_k(1)[0][0] if merged["tools"].heavy else None,
-        "len_p50": float(merged["len_td"].quantile(0.5)),
+        "len_p50": round(float(merged["len_td"].quantile(0.5)), 2),
+        "len_p99_kll": round(float(merged["len_kll"].quantile(0.99)), 2),
     }
 
 
@@ -124,6 +167,8 @@ def run_queries() -> dict:
         "heavy_tools_exact",
         "turn_length_quantiles_exact",
         "q1_lineitem",
+        "orders_per_segment",
+        "sessionize_events",
     ]
     times = {}
     for name in names:
@@ -135,12 +180,13 @@ def run_queries() -> dict:
                 except Exception:
                     pass
             return len(res) if hasattr(res, "__len__") else res
+
         times[name], _ = timed(consume)
         times[name] = round(times[name], 3)
     return times
 
 
-def single_run() -> dict:
+def single_run(include_queries: bool = True) -> dict:
     import ray
 
     if not ray.is_initialized():
@@ -154,52 +200,51 @@ def single_run() -> dict:
     try:
         from ray.data import DataContext
 
-        ctx = DataContext.get_current()
-        ctx.enable_progress_bars = False
+        DataContext.get_current().enable_progress_bars = False
 
-        ensure_bench_data()
-        # warm the page cache so we measure compute+shuffle, not first read
-        import pyarrow.parquet as pq
+        data_dir = _ensure(
+            SCALING_TURNS if os.environ.get("BENCH_SCALING_CHILD") else BENCH_TURNS
+        )
+        # warm the OS page cache (no Ray involved) so the timed pass measures
+        # compute + shuffle, not the first cold read
         import glob as _g
 
-        for p in _g.glob(os.path.join(BENCH_DIR, "*.parquet")):
-            pq.read_metadata(p)
+        for p in _g.glob(os.path.join(data_dir, "*.parquet")):
+            with open(p, "rb") as f:
+                while f.read(1 << 24):
+                    pass
 
-        num_shards = max(4, NUM_CPUS // 4)
-        # fixed-size mark pool: shards cost ceil(num_shards/4) CPUs; leave 2
-        # CPUs for read/finish tasks so nothing starves
-        pool = max(2, NUM_CPUS - (num_shards + 3) // 4 - 2)
-        # untimed warmup: spawns worker processes, pays imports and the
-        # first-read page cache, so the timed runs measure compute + shuffle
-        headline(num_shards, mark_concurrency=(pool, pool))
-        sketch_pass()
-        t_mark, (n_rows, n_dups) = timed(
-            lambda: headline(num_shards, mark_concurrency=(pool, pool))
-        )
-        t_sketch, sk = timed(sketch_pass)
-        qt = run_queries()
-        total = t_mark + t_sketch
-        return {
+        num_shards = max(4, NUM_CPUS // 2)
+        # CPU budget: shards (0.25 each) + mark pool + BenchTail min (2)
+        # + 2 free for read tasks — every fixed reservation accounted, or
+        # the streaming executor deadlocks
+        shard_cpus = (num_shards + 3) // 4
+        pool = max(2, NUM_CPUS - shard_cpus - 2 - 2)
+        t_head, summary = timed(lambda: headline(num_shards, pool, data_dir))
+        out = {
             "metric": "bloom_dedup_plus_sketch_turns_per_sec",
-            "value": round(total, 3),
+            "value": round(t_head, 3),
             "unit": "sec",
-            "turns": n_rows,
-            "dups_marked": n_dups,
-            "turns_per_sec": round(n_rows * 2 / total),  # two passes over the table
-            "mark_sec": round(t_mark, 3),
-            "sketch_sec": round(t_sketch, 3),
-            "sketch_summary": sk,
-            "queries": qt,
+            "turns_per_sec": round(summary["turns"] / t_head),
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
+            **summary,
         }
+        if include_queries:
+            out["queries"] = run_queries()
+        return out
     finally:
         ray.shutdown()
 
 
 def scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            BENCH_NO_QUERIES="1",
+            BENCH_SCALING_CHILD="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -210,7 +255,14 @@ def scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    ensure_bench_data()
+    # pre-generate the (larger) scaling table once, in-process, with Ray
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    _ensure(SCALING_TURNS)
+    ray.shutdown()
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
@@ -232,4 +284,8 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(scaling()))
     else:
-        print(json.dumps(single_run()))
+        print(
+            json.dumps(
+                single_run(include_queries=not os.environ.get("BENCH_NO_QUERIES"))
+            )
+        )

@@ -135,6 +135,15 @@ class TDigest(Sketch):
     def estimate(self) -> dict:
         return {q: self.quantile(q) for q in (0.5, 0.9, 0.99)}
 
+    # --- serde ----------------------------------------------------------------
+
+    def __getstate__(self):
+        # compress before pickling: a serialized partial is ~delta centroids
+        # (a few KB), not the raw insert buffer (up to buffer_size floats) —
+        # partials travel through the object store and driver merges
+        self._compress()
+        return self.__dict__
+
     # --- merge ----------------------------------------------------------------
 
     def _compat_key(self) -> tuple:
