@@ -90,8 +90,8 @@ def mark_duplicates(
     mem: str | None = None,
     total_capacity: int | None = None,
     num_shards: int = 8,
-    mark_concurrency: int = 4,
-    batch_size: int = 32768,
+    mark_concurrency: int = 8,
+    batch_size: int = 131072,
     remove_duplicates: bool = False,
     strip_previous: bool = False,
     mark_col: str = "is_duplicate",

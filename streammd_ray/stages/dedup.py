@@ -256,6 +256,47 @@ class BloomMarkStage:
         return batch.append_column(self.mark_col, pa.array(is_dup))
 
 
+class ConversationValidationError(ValueError):
+    """A conversation violates the input invariant (the analog of the
+    reference's group-arity error, src/markdups.cxx:96-103: it aborts when a
+    qname group doesn't have exactly reads_per_template records)."""
+
+
+def validate_conversations(ds, *, max_report: int = 5):
+    """Enforce the input_hint ordering invariant: within each conv_id,
+    turn_idx is 0-based, contiguous and unique, and ts is non-decreasing.
+
+    Shuffles only (conv_id, turn_idx, ts); raises
+    ConversationValidationError naming offending conversations. Returns the
+    input dataset unchanged on success (validation is a side pass)."""
+    import pandas as pd_
+
+    def check(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx", kind="stable")
+        ti = g["turn_idx"].to_numpy()
+        bad = ""
+        if not (ti == np.arange(len(ti))).all():
+            bad = "turn_idx not contiguous/unique/0-based"
+        elif (np.diff(g["ts"].to_numpy().astype("int64")) < 0).any():
+            bad = "ts not monotone non-decreasing"
+        if bad:
+            return pd_.DataFrame({"conv_id": [g["conv_id"].iloc[0]], "why": [bad]})
+        return pd_.DataFrame({"conv_id": [], "why": []})
+
+    offenders = (
+        ds.select_columns(["conv_id", "turn_idx", "ts"])
+        .groupby("conv_id")
+        .map_groups(check, batch_format="pandas")
+        .take(max_report)
+    )
+    if offenders:
+        msg = "; ".join(f"{r['conv_id']}: {r['why']}" for r in offenders)
+        raise ConversationValidationError(
+            f"input violates the (conv_id, turn_idx) invariant — {msg}"
+        )
+    return ds
+
+
 # ---------------------------------------------------------------------------
 # Exact deterministic dedup (oracle path)
 # ---------------------------------------------------------------------------
