@@ -855,6 +855,20 @@ def q_embedding_ann_lsh(sf_dir: str):
         out.append(got)
     return pd.concat(out).reset_index(drop=True)
 
+
+def q_embedding_ann_ivf(sf_dir: str):
+    """IVF approximate NN (k-means coarse quantizer, nprobe clusters searched)
+    — the second ANN scale path alongside LSH. No oracle; recall vs brute
+    force is property-tested."""
+    import ray.data as rd
+
+    from ..stages.similarity import embedding_ivf_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rows = sorted(ds.take(3), key=lambda r: r["vec_id"])
+    q = np.stack([r["embedding"] for r in rows if r["vec_id"] < 3])
+    return embedding_ivf_topk(ds, q, k=5, n_clusters=8, nprobe=3)
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -893,6 +907,7 @@ QUERIES = {
     "event_value_quantiles": q_event_value_quantiles,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_ann_lsh": q_embedding_ann_lsh,
+    "embedding_ann_ivf": q_embedding_ann_ivf,
 }
 
 ORACLES = {

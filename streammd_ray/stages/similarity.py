@@ -492,3 +492,105 @@ def embedding_lsh_buckets(
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
+
+
+def kmeans_fit(x: np.ndarray, k: int, *, iters: int = 10, seed: int = 41) -> np.ndarray:
+    """Small deterministic k-means (numpy, kmeans++-lite init) for the IVF
+    coarse quantizer. Fit on a sample on the driver; centroids broadcast."""
+    rng = np.random.default_rng(seed)
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    cents = x[rng.choice(n, size=min(k, n), replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(cents)):
+            m = assign == j
+            if m.any():
+                cents[j] = x[m].mean(axis=0)
+    return cents
+
+
+def embedding_ivf_index(
+    ds,
+    *,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    sample: int = 2048,
+    seed: int = 41,
+):
+    """IVF bucketing: fit the coarse quantizer on a driver-side sample, then
+    assign every vector its nearest-centroid cluster id per batch (broadcast
+    centroids via ray.put). Appends 'ivf_cluster'; returns (ds, centroids)."""
+    import ray
+
+    samp = ds.limit(sample).to_pandas()
+    x = np.stack(samp[vec_col].to_numpy()).astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = kmeans_fit(x, n_clusters, seed=seed)
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    ref = ray.put(cents)
+
+    class Assign:
+        def __init__(self, ref):
+            self.cents = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            cl = (emb @ self.cents.T).argmax(axis=1).astype(np.int32)
+            from .text import set_column
+
+            return set_column(batch, "ivf_cluster", pa.array(cl, pa.int32()))
+
+    out = ds.map_batches(
+        Assign,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return out, cents
+
+
+def embedding_ivf_topk(
+    ds,
+    query_matrix: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 41,
+):
+    """IVF approximate top-k: search only the nprobe clusters whose centroids
+    are nearest each query (the scale path — brute force touches 1/…
+    (n_clusters/nprobe) of the data). Returns the same shape as
+    embedding_topk; recall vs brute force is property-tested."""
+    indexed, cents = embedding_ivf_index(
+        ds, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+    )
+    q = np.asarray(query_matrix, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    wanted = sorted({int(c) for row in probe for c in row})
+    cand = indexed.filter(lambda r: r["ivf_cluster"] in wanted)
+    got = embedding_topk(cand, qn, vec_col=vec_col, id_col=id_col, k=k)
+    # drop hits from clusters a given query did not probe
+    cl = indexed.select_columns([id_col, "ivf_cluster"]).to_pandas().set_index(id_col)[
+        "ivf_cluster"
+    ]
+    keep = [
+        int(cl[r[id_col]]) in set(probe[int(r["query_id"])].tolist())
+        for _, r in got.iterrows()
+    ]
+    got = got[np.array(keep)]
+    out = []
+    for qid, g in got.groupby("query_id"):
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    return pd.concat(out).reset_index(drop=True)

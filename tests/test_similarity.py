@@ -202,3 +202,22 @@ def test_media_fake_decode(ray_session):
         rd.from_arrow(make_fake_media_table(32)), decoder="fake", batch_size=8
     ).to_pandas()
     assert np.allclose(np.stack(out2["features"]), feats)
+
+
+def test_embedding_ivf_recall(ray_session, embeddings):
+    from streammd_ray.stages.similarity import embedding_ivf_topk
+
+    df, emb = embeddings
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+    q = emb[:5].astype(np.float64)
+    approx = embedding_ivf_topk(ds, q, k=5, n_clusters=8, nprobe=3)
+    exact = embedding_topk(ds, q, k=5)
+    recalls = []
+    for qid in range(5):
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        recalls.append(len(a & e) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls  # nprobe=3/8 of a 32-dim space
+    # the planted near-identical twin must be found for probed queries
+    r0 = approx[approx["query_id"] == 0]
+    assert 0 in set(r0["vec_id"])
