@@ -411,7 +411,7 @@ def q_token_count_by_source(sf_dir: str):
 
 def sql_token_count_by_source() -> str:
     return """SELECT source,
-  sum(coalesce(length(regexp_extract_all(text, '\\S+')), 0)) AS total_tokens,
+  CAST(sum(coalesce(length(regexp_extract_all(text, '\\S+')), 0)) AS BIGINT) AS total_tokens,
   count(*) AS n_docs
 FROM documents GROUP BY source"""
 
@@ -715,8 +715,8 @@ def q_sessionize_events(sf_dir: str, gap_minutes: int = 30):
 
 def sql_sessionize_events() -> str:
     return """SELECT event_id, user_id,
-  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS UNBOUNDED PRECEDING) AS session_id
+  CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM (
   SELECT event_id, user_id, ts,
     CASE WHEN epoch_us(ts) - lag(epoch_us(ts))

@@ -35,6 +35,13 @@ LANG_MARKERS = {
 LANG_PRIORITY = ("en", "de", "fr", "es")
 
 
+def _round_half_away(x: np.ndarray, digits: int) -> np.ndarray:
+    # SQL round() rounds half away from zero; np.round is banker's rounding
+    # (0.3703125 -> 0.370312 vs DuckDB's 0.370313)
+    f = 10.0**digits
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
 def _count(col: pa.Array, pattern: str) -> np.ndarray:
     return np.asarray(
         pc.fill_null(pc.count_substring_regex(col, pattern), 0), dtype=np.float64
@@ -88,9 +95,9 @@ def text_stats(batch: pa.Table, *, col: str = "text") -> pa.Table:
         ("n_chars", n_chars.astype(np.int64), pa.int64()),
         ("n_tokens", n_tokens.astype(np.int64), pa.int64()),
         ("n_words", n_words.astype(np.int64), pa.int64()),
-        ("punct_ratio", np.round(punct_ratio, 6), pa.float64()),
-        ("stop_ratio", np.round(stop_ratio, 6), pa.float64()),
-        ("quality", np.round(quality, 6), pa.float64()),
+        ("punct_ratio", _round_half_away(punct_ratio, 6), pa.float64()),
+        ("stop_ratio", _round_half_away(stop_ratio, 6), pa.float64()),
+        ("quality", _round_half_away(quality, 6), pa.float64()),
     ]:
         out = set_column(out, name, col_of(arr, typ))
     return out
