@@ -566,31 +566,63 @@ def embedding_ivf_topk(
     nprobe: int = 4,
     seed: int = 41,
 ):
-    """IVF approximate top-k: search only the nprobe clusters whose centroids
-    are nearest each query (the scale path — brute force touches 1/…
-    (n_clusters/nprobe) of the data). Returns the same shape as
-    embedding_topk; recall vs brute force is property-tested."""
+    """IVF approximate top-k: each query scores only vectors whose cluster is
+    among its nprobe nearest centroids. The probe mask is applied INSIDE the
+    batch pass (a (Q, n_clusters) boolean broadcast) — nothing about the
+    dataset ever materializes on the driver; per-batch candidates reduce to
+    global top-k exactly like embedding_topk. Recall vs brute force is
+    property-tested."""
+    import ray
+
     indexed, cents = embedding_ivf_index(
         ds, vec_col=vec_col, n_clusters=n_clusters, seed=seed
     )
     q = np.asarray(query_matrix, dtype=np.float64)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
     probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
-    wanted = sorted({int(c) for row in probe for c in row})
-    cand = indexed.filter(lambda r: r["ivf_cluster"] in wanted)
-    got = embedding_topk(cand, qn, vec_col=vec_col, id_col=id_col, k=k)
-    # drop hits from clusters a given query did not probe
-    cl = indexed.select_columns([id_col, "ivf_cluster"]).to_pandas().set_index(id_col)[
-        "ivf_cluster"
-    ]
-    keep = [
-        int(cl[r[id_col]]) in set(probe[int(r["query_id"])].tolist())
-        for _, r in got.iterrows()
-    ]
-    got = got[np.array(keep)]
+    allowed = np.zeros((len(qn), len(cents)), dtype=bool)
+    for qi, row in enumerate(probe):
+        allowed[qi, row] = True
+    ref = ray.put((qn, allowed))
+
+    class ProbedTopK:
+        def __init__(self, ref, k):
+            self.q, self.allowed = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            cl = np.asarray(batch["ivf_cluster"].combine_chunks(), dtype=np.int64)
+            emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            sims = self.q @ emb.T  # (Q, n)
+            sims = np.where(self.allowed[:, cl], sims, -np.inf)
+            kk = min(self.k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(np.arange(len(self.q)), kk)
+            rows_i = top.ravel()
+            score = sims[rows_q, rows_i]
+            keep = np.isfinite(score)
+            return pa.table(
+                {
+                    "query_id": pa.array(rows_q[keep].astype(np.int64)),
+                    id_col: pa.array(ids[rows_i[keep]]),
+                    "score": pa.array(np.round(score[keep], 6)),
+                }
+            )
+
+    cands = indexed.map_batches(
+        ProbedTopK,
+        fn_constructor_kwargs={"ref": ref, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).to_pandas()
     out = []
-    for qid, g in got.groupby("query_id"):
+    for qid, g in cands.groupby("query_id"):
         g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
         g = g.assign(rank=np.arange(1, len(g) + 1))
         out.append(g)
-    return pd.concat(out).reset_index(drop=True)
+    return pd.concat(out).reset_index(drop=True)[["query_id", id_col, "score", "rank"]]
