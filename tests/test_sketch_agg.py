@@ -137,3 +137,12 @@ def test_salted_groupby_matches_direct(ray_session, table):
     )
     assert salted["n"].tolist() == direct["n"].tolist()
     assert np.allclose(salted["total_len"], direct["total_len"])
+
+
+def test_bloom_count_agg(ray_session, table):
+    from streammd_ray.stages import BloomCountAgg
+
+    ds = rd.from_arrow(pa.Table.from_pandas(table, preserve_index=False)).repartition(4)
+    est = ds.aggregate(BloomCountAgg("conv_id", p=1e-4, capacity=100_000, alias_name="approx_convs"))
+    true_n = table["conv_id"].nunique()
+    assert abs(est["approx_convs"] - true_n) / true_n < 0.02

@@ -247,3 +247,19 @@ def test_serde_roundtrip(make):
     data = s.to_bytes()
     s2 = type(s).from_bytes(data)
     assert s2._compat_key() == s._compat_key()
+
+
+def test_kll_rank_method():
+    kll = KLL(k=200)
+    kll.insert_batch(np.arange(10_000, dtype=float))
+    assert abs(kll.rank(2_500.0) - 0.25) < 3 * kll.rank_error
+    assert kll.rank(-1.0) == 0.0
+    assert kll.rank(10_001.0) == 1.0
+
+
+def test_tdigest_cdf():
+    td = TDigest()
+    td.insert_batch(np.arange(10_000, dtype=float))
+    assert abs(td.cdf(5_000.0) - 0.5) < 0.01
+    assert td.cdf(-1.0) == 0.0
+    assert td.cdf(10_001.0) == 1.0
