@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import json
 import os
-import pickle
 import subprocess
 import sys
 import time
@@ -69,92 +68,31 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
-class BenchTail:
-    """Per-batch tail of the fused flagship pass: derive turn length, insert
-    into fresh per-batch sketch partials, and emit one row per sketch plus a
-    counts row. Runs in the same streaming pass as the Bloom mark stage."""
-
-    def __init__(self, specs_bytes: bytes):
-        self.protos = pickle.loads(specs_bytes)
-
-    def __call__(self, batch):
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        lens = pc.cast(
-            pc.fill_null(pc.utf8_length(batch["text"]), 0), pa.float64()
-        ).to_numpy(zero_copy_only=False)
-        names, states = [], []
-        for name, (col, proto) in self.protos.items():
-            sk = pickle.loads(pickle.dumps(proto))
-            if col == "__len":
-                sk.insert_batch(np.asarray(lens, dtype=np.float64))
-            else:
-                sk.insert_batch(batch[col].combine_chunks())
-            names.append(name)
-            states.append(sk.to_bytes())
-        names.append("__counts")
-        n_dups = int(pc.sum(pc.cast(batch["is_duplicate"], "int64")).as_py() or 0)
-        states.append(pickle.dumps((len(batch), n_dups)))
-        return pa.table(
-            {
-                "sketch": pa.array(names, pa.string()),
-                "state": pa.array(states, pa.binary()),
-            }
-        )
-
-
 def headline(num_shards: int, pool: int, data_dir: str | None = None) -> dict:
-    """The fused flagship: read → key-hash → sharded-Bloom mark → sketch
-    partials + counters, one streaming pass; tree-merge on the driver."""
+    """The fused flagship via the library pipeline (pipelines/flagship.py)."""
     import ray.data as rd
 
-    from streammd_ray.pipelines.mark_duplicates import mark_duplicates
-    from streammd_ray.sketches import KLL, CountMinSketch, HyperLogLog, TDigest
-    from streammd_ray.stages.sketch_agg import tree_merge
+    from streammd_ray.pipelines.flagship import run_flagship
 
     # 64 fat blocks (one per file): fewer tasks, fewer sketch partials,
     # larger vectorized batches
     ds = rd.read_parquet(data_dir or ensure_bench_data(), override_num_blocks=64)
-    res = mark_duplicates(
+    out = run_flagship(
         ds,
         p=1e-6,
         mem="256MiB",
         num_shards=num_shards,
         mark_concurrency=(min(4, pool), pool),
+        tail_concurrency=(2, max(2, min(12, pool))),
         batch_size=131072,
     )
-    specs = pickle.dumps(
-        {
-            "convs": ("conv_id", HyperLogLog()),
-            "tools": ("tool", CountMinSketch(eps=1e-3, delta=1e-3, track_heavy=8)),
-            "len_td": ("__len", TDigest()),
-            "len_kll": ("__len", KLL()),
-        }
-    )
-    partials = res.marked.map_batches(
-        BenchTail,
-        fn_constructor_kwargs={"specs_bytes": specs},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=262144,
-        concurrency=(2, max(2, min(12, pool))),
-    )
-    by_name: dict[str, list[bytes]] = {}
-    for row in partials.take_all():
-        by_name.setdefault(row["sketch"], []).append(row["state"])
-    counts = [pickle.loads(s) for s in by_name.pop("__counts")]
-    n_rows = sum(c[0] for c in counts)
-    n_dups = sum(c[1] for c in counts)
-    merged = {n: tree_merge(sts) for n, sts in by_name.items()}
     return {
-        "turns": n_rows,
-        "dups_marked": n_dups,
-        "convs_est": round(merged["convs"].estimate()),
-        "top_tool": merged["tools"].top_k(1)[0][0] if merged["tools"].heavy else None,
-        "len_p50": round(float(merged["len_td"].quantile(0.5)), 2),
-        "len_p99_kll": round(float(merged["len_kll"].quantile(0.99)), 2),
+        "turns": out.counters["turns"],
+        "dups_marked": out.counters["dups"],
+        "convs_est": round(out.sketches["convs_hll"].estimate()),
+        "top_tool": (out.sketches["tools_cms"].top_k(1) or [(None, 0)])[0][0],
+        "len_p50": round(float(out.sketches["len_tdigest"].quantile(0.5)), 2),
+        "len_p99_kll": round(float(out.sketches["len_kll"].quantile(0.99)), 2),
     }
 
 

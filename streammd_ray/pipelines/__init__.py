@@ -1,3 +1,4 @@
+from .flagship import FlagshipResult, SketchTail, default_sketch_specs, run_flagship
 from .mark_duplicates import (
     CapacityExceeded,
     MarkResult,
@@ -5,4 +6,13 @@ from .mark_duplicates import (
     mark_duplicates,
 )
 
-__all__ = ["CapacityExceeded", "MarkResult", "compute_metrics", "mark_duplicates"]
+__all__ = [
+    "CapacityExceeded",
+    "MarkResult",
+    "compute_metrics",
+    "mark_duplicates",
+    "FlagshipResult",
+    "SketchTail",
+    "default_sketch_specs",
+    "run_flagship",
+]

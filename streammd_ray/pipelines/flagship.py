@@ -1,0 +1,150 @@
+"""The fused flagship pipeline — the BASELINE.json metric pipeline as a
+reusable library function: ONE streaming pass that bloom-marks duplicates
+AND accumulates the four estimate sketches AND the run counters.
+
+    read → add_key_columns → BloomMarkStage (shard actors)
+         → SketchTail (per-batch sketch partials + counters)
+         → driver tree-merge
+
+``bench.py`` calls this; a production job would call it with
+``output_dir=...`` to also persist the marked table in the same pass.
+"""
+
+from __future__ import annotations
+
+import pickle
+from dataclasses import dataclass
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sketches import KLL, CountMinSketch, HyperLogLog, TDigest
+from ..sketches.base import Sketch
+from ..stages.sketch_agg import tree_merge
+from .mark_duplicates import MarkResult, mark_duplicates
+
+
+def default_sketch_specs() -> dict[str, tuple[str, Sketch]]:
+    """The north_star's five-sketch set (Bloom lives in the shard actors):
+    HLL distinct conv_id, CMS heavy tools, t-digest + KLL on turn length."""
+    return {
+        "convs_hll": ("conv_id", HyperLogLog()),
+        "tools_cms": ("tool", CountMinSketch(eps=1e-3, delta=1e-3, track_heavy=16)),
+        "len_tdigest": ("__len", TDigest()),
+        "len_kll": ("__len", KLL()),
+    }
+
+
+class SketchTail:
+    """Per-batch tail stage: derive turn length, insert the batch into fresh
+    sketch partials, emit one (sketch, state) row per sketch plus a counters
+    row. Partials are small (compressed t-digest, modest CMS) and tree-merge
+    in O(log n_batches)."""
+
+    def __init__(self, specs_bytes: bytes, *, text_col: str = "text", mark_col: str = "is_duplicate"):
+        self.protos = pickle.loads(specs_bytes)
+        self.text_col = text_col
+        self.mark_col = mark_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lens = pc.cast(
+            pc.fill_null(pc.utf8_length(batch[self.text_col]), 0), pa.float64()
+        ).to_numpy(zero_copy_only=False)
+        names, states = [], []
+        for name, (col, proto) in self.protos.items():
+            sk = pickle.loads(pickle.dumps(proto))
+            if col == "__len":
+                sk.insert_batch(np.asarray(lens, dtype=np.float64))
+            else:
+                sk.insert_batch(batch[col].combine_chunks())
+            names.append(name)
+            states.append(sk.to_bytes())
+        names.append("__counts")
+        n_dups = int(pc.sum(pc.cast(batch[self.mark_col], "int64")).as_py() or 0)
+        n_null = int(
+            pc.sum(pc.cast(pc.is_null(batch[self.text_col]), "int64")).as_py() or 0
+        )
+        states.append(pickle.dumps((len(batch), n_dups, n_null)))
+        return pa.table(
+            {
+                "sketch": pa.array(names, pa.string()),
+                "state": pa.array(states, pa.binary()),
+            }
+        )
+
+
+@dataclass
+class FlagshipResult:
+    counters: dict
+    sketches: dict[str, Sketch]
+    mark: MarkResult
+
+    def metrics(self) -> dict:
+        """The reference's metrics JSON, CONVERSATIONS via the ridden HLL."""
+        turns = self.counters["turns"]
+        nulls = self.counters["nulls"]
+        dups = self.counters["dups"]
+        denom = turns - nulls
+        return {
+            "TURNS": turns,
+            "TURNS_NULL_TEXT": nulls,
+            "TURNS_MARKED_DUPLICATE": dups,
+            "CONVERSATIONS": round(self.sketches["convs_hll"].estimate()),
+            "TURN_DUPLICATE_FRACTION": round(dups / denom, 4) if denom else 0.0,
+        }
+
+
+def run_flagship(
+    ds,
+    *,
+    specs: dict[str, tuple[str, Sketch]] | None = None,
+    p: float = 1e-6,
+    mem: str | None = "256MiB",
+    num_shards: int = 8,
+    mark_concurrency=8,
+    # min 1: a min-2 tail pool + mark min + shard reservations can consume a
+    # small CPU budget entirely and starve the read tasks (deadlock)
+    tail_concurrency=(1, 8),
+    batch_size: int = 131072,
+    output_dir: str | None = None,
+    **mark_kwargs: Any,
+) -> FlagshipResult:
+    """One streaming pass: mark + sketches + counters (+ optional parquet
+    write of the marked table — done via the partials pass's sibling write so
+    the consume-once contract holds: when ``output_dir`` is set the marked
+    dataset is materialized once and both consumers read pinned blocks)."""
+    res = mark_duplicates(
+        ds,
+        p=p,
+        mem=mem,
+        num_shards=num_shards,
+        mark_concurrency=mark_concurrency,
+        batch_size=batch_size,
+        materialize=output_dir is not None,
+        **mark_kwargs,
+    )
+    sketch_specs = specs or default_sketch_specs()
+    packed = pickle.dumps(sketch_specs)
+    partials = res.marked.map_batches(
+        SketchTail,
+        fn_constructor_kwargs={"specs_bytes": packed},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=max(batch_size, 262144),
+        concurrency=tail_concurrency,
+    )
+    by_name: dict[str, list[bytes]] = {}
+    for row in partials.take_all():
+        by_name.setdefault(row["sketch"], []).append(row["state"])
+    counts = [pickle.loads(s) for s in by_name.pop("__counts")]
+    counters = {
+        "turns": sum(c[0] for c in counts),
+        "dups": sum(c[1] for c in counts),
+        "nulls": sum(c[2] for c in counts),
+    }
+    sketches = {n: tree_merge(sts) for n, sts in by_name.items()}
+    if output_dir is not None:
+        res.marked.write_parquet(output_dir)
+    return FlagshipResult(counters=counters, sketches=sketches, mark=res)

@@ -150,24 +150,34 @@ def run_with_checkpoint(
         shutil.rmtree(wave_out, ignore_errors=True)
         res.dataset.write_parquet(tmp_out)
 
-        # wave metrics via per-batch partials (no all-to-all) + mergeable HLL
-        import pyarrow.compute as pc
+        # wave counters + ALL estimate-sketch states ride the same pinned
+        # blocks: per-batch partials, tree-merged, persisted per wave
+        # (north_star: "checkpoints per-partition sketch states")
+        import pickle as _pickle
 
-        from ..stages.sketch_agg import global_counts, sketch_column
+        from ..pipelines.flagship import SketchTail, default_sketch_specs
+        from ..stages.sketch_agg import tree_merge
 
-        agg = global_counts(
-            res.marked,
-            {
-                "turns": lambda t: len(t),
-                "nulls": lambda t: int(
-                    pc.sum(pc.cast(pc.is_null(t["text"]), "int64")).as_py() or 0
-                ),
-                "dups": lambda t: int(
-                    pc.sum(pc.cast(t["is_duplicate"], "int64")).as_py() or 0
-                ),
+        partials = res.marked.map_batches(
+            SketchTail,
+            fn_constructor_kwargs={
+                "specs_bytes": _pickle.dumps(default_sketch_specs())
             },
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
         )
-        conv_hll = sketch_column(res.marked, "conv_id", HyperLogLog())
+        by_name: dict = {}
+        for row in partials.take_all():
+            by_name.setdefault(row["sketch"], []).append(row["state"])
+        counts = [_pickle.loads(s) for s in by_name.pop("__counts")]
+        agg = {
+            "turns": sum(c[0] for c in counts),
+            "dups": sum(c[1] for c in counts),
+            "nulls": sum(c[2] for c in counts),
+        }
+        wave_sketches = {n: tree_merge(sts) for n, sts in by_name.items()}
+        conv_hll = wave_sketches["convs_hll"]
 
         res.check_capacity(allow_overcapacity=allow_overcapacity)
 
@@ -196,10 +206,18 @@ def run_with_checkpoint(
                 "dups": int(agg["dups"]),
             },
             "conv_hll": conv_hll.to_bytes().hex(),
+            "sketches": {
+                n: sk.to_bytes().hex() for n, sk in wave_sketches.items()
+            },
         }
         _atomic_write_json(os.path.join(ckpt_dir, "manifest.json"), manifest)
 
-    # final metrics: sum counters, merge conv HLLs across waves
+    # final metrics: sum counters, merge every sketch across waves (wave
+    # order is arbitrary — merges are associative by construction)
+    import pickle as _pickle
+
+    from ..sketches.base import merge_all as _merge_all
+
     turns = sum(w["metrics"]["turns"] for w in manifest["waves"].values())
     nulls = sum(w["metrics"]["nulls"] for w in manifest["waves"].values())
     dups = sum(w["metrics"]["dups"] for w in manifest["waves"].values())
@@ -214,5 +232,26 @@ def run_with_checkpoint(
         "CONVERSATIONS": round(hll.estimate()),
         "TURN_DUPLICATE_FRACTION": round(dups / denom, 4) if denom else 0.0,
     }
+    sketch_names = set()
+    for w in manifest["waves"].values():
+        sketch_names |= set(w.get("sketches", {}))
+    estimates: dict = {}
+    for n in sorted(sketch_names):
+        states = [
+            _pickle.loads(bytes.fromhex(w["sketches"][n]))
+            for w in manifest["waves"].values()
+            if n in w.get("sketches", {})
+        ]
+        merged = _merge_all(states)
+        if n == "tools_cms":
+            estimates[n] = merged.top_k(5)
+        elif n.startswith("len_"):
+            estimates[n] = {
+                "p50": float(merged.quantile(0.5)),
+                "p99": float(merged.quantile(0.99)),
+            }
+        else:
+            estimates[n] = float(merged.estimate())
+    manifest["sketch_estimates"] = estimates
     _atomic_write_json(os.path.join(ckpt_dir, "manifest.json"), manifest)
     return manifest

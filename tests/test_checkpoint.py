@@ -109,3 +109,21 @@ def test_resume_rejects_config_change(ray_session, data, tmp_path):
         run_with_checkpoint(
             paths[:2], ckpt_dir=ckpt, out_dir=out, wave_size=2, p=1e-6, num_shards=2
         )
+
+
+def test_sketch_states_persisted_per_wave(ray_session, data, tmp_path):
+    paths, truth = data
+    manifest = run_with_checkpoint(
+        paths[:4],
+        ckpt_dir=str(tmp_path / "sk"),
+        out_dir=str(tmp_path / "sko"),
+        wave_size=2,
+        p=1e-9,
+        num_shards=2,
+    )
+    for w in manifest["waves"].values():
+        assert set(w["sketches"]) == {"convs_hll", "tools_cms", "len_tdigest", "len_kll"}
+    est = manifest["sketch_estimates"]
+    assert est["len_tdigest"]["p50"] > 0
+    assert isinstance(est["tools_cms"], list) and est["tools_cms"]
+    assert est["convs_hll"] > 0
