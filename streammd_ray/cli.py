@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--wave-size", type=int, default=8)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--input-format", choices=("parquet", "jsonl", "csv"), default="parquet")
+    ap.add_argument("--output-format", choices=("parquet", "jsonl", "csv"), default="parquet")
+    ap.add_argument(
+        "--key-cols",
+        default="text",
+        help="comma-separated dedup key columns (default: text)",
+    )
     return ap
 
 
@@ -94,7 +101,10 @@ def main(argv=None) -> int:
     try:
         paths = sorted(glob.glob(args.input)) or [args.input]
         if len(paths) == 1 and os.path.isdir(paths[0]):
-            paths = sorted(glob.glob(os.path.join(paths[0], "*.parquet")))
+            ext = {"parquet": "*.parquet", "jsonl": "*.json*", "csv": "*.csv"}[
+                args.input_format
+            ]
+            paths = sorted(glob.glob(os.path.join(paths[0], ext))) or paths
 
         scope = "conversation" if args.single else "global"
 
@@ -115,13 +125,13 @@ def main(argv=None) -> int:
             )
             metrics = manifest["metrics"]
         else:
-            import ray.data as rd
-
             from .pipelines.mark_duplicates import compute_metrics, mark_duplicates
+            from .sources.io import read_transcripts, write_transcripts
 
-            ds = rd.read_parquet(paths)
+            ds = read_transcripts(paths, fmt=args.input_format)
             res = mark_duplicates(
                 ds,
+                key_cols=tuple(c.strip() for c in args.key_cols.split(",") if c.strip()),
                 scope=scope,
                 p=args.fp_rate,
                 mem=args.mem,
@@ -130,7 +140,7 @@ def main(argv=None) -> int:
                 strip_previous=args.strip_previous,
                 materialize=True,
             )
-            res.dataset.write_parquet(args.output)
+            write_transcripts(res.dataset, args.output, fmt=args.output_format)
             metrics = compute_metrics(res.marked, exact_conversations=False)
             res.check_capacity(allow_overcapacity=args.allow_overcapacity)
 

@@ -1,3 +1,4 @@
+from .io import read_transcripts, write_transcripts
 from .transcripts import (
     TRANSCRIPTS_SCHEMA,
     derive_transcripts,
@@ -6,6 +7,8 @@ from .transcripts import (
 )
 
 __all__ = [
+    "read_transcripts",
+    "write_transcripts",
     "TRANSCRIPTS_SCHEMA",
     "derive_transcripts",
     "generate_transcripts",
