@@ -832,28 +832,17 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
 
 
 def q_embedding_ann_lsh(sf_dir: str):
-    """LSH-bucketed approximate NN: same output shape as embedding_knn but
-    candidates restricted to the query's hyperplane bucket (scale path);
-    falls back to global top-k when a bucket is sparse. No oracle — the ANN
-    recall-vs-bruteforce property is asserted in tests."""
+    """LSH-bucketed approximate NN: one vectorized masked pass (each query
+    scores only its hyperplane bucket). No oracle — ANN recall vs brute
+    force is property-tested."""
     import ray.data as rd
 
-    from ..stages.similarity import embedding_lsh_buckets, embedding_topk
+    from ..stages.similarity import embedding_lsh_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    bucketed = embedding_lsh_buckets(ds, n_planes=8)
-    qrows = sorted(bucketed.take(3), key=lambda r: r["vec_id"])
-    out = []
-    for r in qrows:
-        if r["vec_id"] >= 3:
-            continue
-        same = bucketed.filter(
-            lambda row, b=r["lsh_bucket"]: row["lsh_bucket"] == b
-        )
-        got = embedding_topk(same, np.stack([r["embedding"]]), k=5)
-        got["query_id"] = int(r["vec_id"])
-        out.append(got)
-    return pd.concat(out).reset_index(drop=True)
+    rows = sorted(ds.take(3), key=lambda r: r["vec_id"])
+    q = np.stack([r["embedding"] for r in rows if r["vec_id"] < 3])
+    return embedding_lsh_topk(ds, q, k=5, n_planes=8)
 
 
 def q_embedding_ann_ivf(sf_dir: str):

@@ -626,3 +626,77 @@ def embedding_ivf_topk(
         g = g.assign(rank=np.arange(1, len(g) + 1))
         out.append(g)
     return pd.concat(out).reset_index(drop=True)[["query_id", id_col, "score", "rank"]]
+
+
+def embedding_lsh_topk(
+    ds,
+    query_matrix: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 31,
+):
+    """LSH-bucketed approximate top-k in ONE vectorized pass: each query
+    scores only vectors in its own hyperplane bucket (mask applied per batch,
+    (Q, 2^n_planes) boolean broadcast — no per-row Python, no per-query
+    passes). Same output shape as embedding_topk."""
+    import ray
+
+    bucketed = embedding_lsh_buckets(ds, vec_col=vec_col, n_planes=n_planes, seed=seed)
+    # bucket each query with the same planes
+    rng = np.random.default_rng(seed)
+    first = ds.take(1)[0][vec_col]
+    planes = rng.standard_normal((len(first), n_planes))
+    q = np.asarray(query_matrix, dtype=np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    bits = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+    q_bucket = (((qn @ planes) > 0).astype(np.uint64) * bits[None, :]).sum(axis=1)
+    allowed = np.zeros((len(qn), 1 << n_planes), dtype=bool)
+    allowed[np.arange(len(qn)), q_bucket.astype(np.int64)] = True
+    ref = ray.put((qn, allowed))
+
+    class ProbedTopK:
+        def __init__(self, ref, k):
+            self.q, self.allowed = ray.get(ref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            bu = np.asarray(
+                batch["lsh_bucket"].combine_chunks(), dtype=np.uint64
+            ).astype(np.int64)
+            emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            sims = self.q @ emb.T
+            sims = np.where(self.allowed[:, bu], sims, -np.inf)
+            kk = min(self.k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(np.arange(len(self.q)), kk)
+            rows_i = top.ravel()
+            score = sims[rows_q, rows_i]
+            keep = np.isfinite(score)
+            return pa.table(
+                {
+                    "query_id": pa.array(rows_q[keep].astype(np.int64)),
+                    id_col: pa.array(ids[rows_i[keep]]),
+                    "score": pa.array(np.round(score[keep], 6)),
+                }
+            )
+
+    cands = bucketed.map_batches(
+        ProbedTopK,
+        fn_constructor_kwargs={"ref": ref, "k": k},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).to_pandas()
+    out = []
+    for qid, g in cands.groupby("query_id"):
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    return pd.concat(out).reset_index(drop=True)[["query_id", id_col, "score", "rank"]]

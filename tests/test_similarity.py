@@ -221,3 +221,15 @@ def test_embedding_ivf_recall(ray_session, embeddings):
     # the planted near-identical twin must be found for probed queries
     r0 = approx[approx["query_id"] == 0]
     assert 0 in set(r0["vec_id"])
+
+
+def test_embedding_lsh_topk_finds_self_and_twin(ray_session, embeddings):
+    from streammd_ray.stages.similarity import embedding_lsh_topk
+
+    df, emb = embeddings
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+    q = emb[:5].astype(np.float64)
+    got = embedding_lsh_topk(ds, q, k=5, n_planes=8)
+    for qid in range(5):
+        g = got[got["query_id"] == qid]
+        assert g.iloc[0]["vec_id"] == qid  # self is rank 1 (same bucket)
