@@ -83,7 +83,6 @@ def headline(num_shards: int, pool: int, data_dir: str | None = None) -> dict:
         mem="256MiB",
         num_shards=num_shards,
         mark_concurrency=(min(4, pool), pool),
-        tail_concurrency=(2, max(2, min(12, pool))),
         batch_size=131072,
     )
     return {
