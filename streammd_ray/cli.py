@@ -140,9 +140,20 @@ def main(argv=None) -> int:
                 strip_previous=args.strip_previous,
                 materialize=True,
             )
+            # capacity check FIRST (marking already ran via materialize=True):
+            # a CapacityExceeded aborts before any output is written; with
+            # --allow-overcapacity the report goes to stderr as a warning
+            report = res.check_capacity(allow_overcapacity=args.allow_overcapacity)
+            if report["overcapacity_shards"]:
+                print(
+                    f"WARNING: {report['overcapacity_shards']}/{len(report['shards'])} "
+                    f"Bloom shards over capacity; max marginal FPR "
+                    f"{report['max_marginal_fpr']:.3g} exceeds target {args.fp_rate} "
+                    "(--allow-overcapacity given, continuing)",
+                    file=sys.stderr,
+                )
             write_transcripts(res.dataset, args.output, fmt=args.output_format)
             metrics = compute_metrics(res.marked, exact_conversations=False)
-            res.check_capacity(allow_overcapacity=args.allow_overcapacity)
 
         with open(args.metrics, "w") as f:
             json.dump(metrics, f, indent=2)

@@ -75,6 +75,17 @@ class SketchTail:
         )
 
 
+class _ConsumedDataset:
+    """Guard standing in for a lazy marked Dataset that has already been
+    consumed (consume-once contract): any attribute access raises."""
+
+    def __init__(self, why: str):
+        object.__setattr__(self, "_why", why)
+
+    def __getattr__(self, name):
+        raise RuntimeError(object.__getattribute__(self, "_why"))
+
+
 @dataclass
 class FlagshipResult:
     counters: dict
@@ -147,4 +158,19 @@ def run_flagship(
     sketches = {n: tree_merge(sts) for n, sts in by_name.items()}
     if output_dir is not None:
         res.marked.write_parquet(output_dir)
+    else:
+        # the lazy marked plan was consumed exactly once by the partials
+        # pass above; seal the shard actors and replace the lazy handles
+        # with guards so any later consumption fails loudly instead of
+        # re-executing the marking pass against populated shards
+        import ray
+
+        ray.get([s.seal.remote() for s in res.shards])
+        guard = _ConsumedDataset(
+            "run_flagship(output_dir=None) already consumed the marked "
+            "dataset; pass output_dir=... (materializes) if you need to "
+            "read the marked table afterwards"
+        )
+        res.dataset = guard
+        res.marked = guard
     return FlagshipResult(counters=counters, sketches=sketches, mark=res)

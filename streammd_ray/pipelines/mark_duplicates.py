@@ -130,6 +130,8 @@ def mark_duplicates(
             zero_copy_batch=True,
         )
 
+    import ray
+
     if shards is None:
         shards = make_shard_actors(
             num_shards,
@@ -138,6 +140,10 @@ def mark_duplicates(
             mem=mem,
             seeds=seeds,
         )
+    else:
+        # pre-loaded shards (wave/checkpoint driver): the reuse is
+        # intentional, so lift any seal from the previous wave's consumption
+        ray.get([s.unseal.remote() for s in shards])
 
     keyed = add_key_columns(ds, key_cols, seeds=seeds)
     # The mark stage itself is stateless (all state lives in the shard
@@ -174,6 +180,10 @@ def mark_duplicates(
     marked = marked.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
     if materialize:
         marked = marked.materialize()
+        # the plan has now executed exactly once; seal the shards so any
+        # accidental second execution of a lazy alias fails loudly instead of
+        # silently re-inserting every key (consume-once contract, enforced)
+        ray.get([s.seal.remote() for s in shards])
 
     out = marked
     if remove_duplicates:

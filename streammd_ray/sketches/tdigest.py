@@ -45,14 +45,20 @@ class TDigest(Sketch):
 
     def insert_batch(self, values, weights=None) -> None:
         v = np.asarray(values, dtype=np.float64)
-        v = v[~np.isnan(v)]
+        if weights is not None:
+            w = np.asarray(weights, dtype=np.float64)
+            if len(w) != len(v):
+                raise ValueError(
+                    f"weights length {len(w)} != values length {len(v)}"
+                )
+            keep = ~np.isnan(v)
+            v, w = v[keep], w[keep]
+        else:
+            v = v[~np.isnan(v)]
+            w = None
         if v.size == 0:
             return
-        if weights is not None:
-            w = np.asarray(weights, dtype=np.float64)[: len(v)]
-            pairs = np.stack([v, w])
-        else:
-            pairs = np.stack([v, np.ones_like(v)])
+        pairs = np.stack([v, w if w is not None else np.ones_like(v)])
         self._buf.append(pairs)
         self._buf_len += v.size
         self.min = min(self.min, float(v.min()))

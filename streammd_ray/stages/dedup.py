@@ -122,21 +122,33 @@ class _BloomShard:
         self.keys_seen = 0
         self.dups = 0
         self._cache: dict = {}
+        self._sealed = False
 
     _CACHE_MAX = 1024
 
     def add(
-        self, h1: np.ndarray, h2: np.ndarray, batch_key: int | None = None
+        self, h1: np.ndarray, h2: np.ndarray, batch_key: bytes | None = None
     ) -> np.ndarray:
         """Insert a routed slice; returns was_new.
 
-        ``batch_key`` is a content hash of the slice: a Ray task retry
-        re-sends the identical slice, and replaying the cached verdict keeps
-        the retry from marking its own rows as duplicates of themselves
-        (SURVEY.md §7.3 "exactness under retries"). The cache is bounded;
-        callers must still consume the marked dataset exactly once
-        (materialize or write) — full re-executions are not replays.
+        ``batch_key`` identifies the PHYSICAL batch: (Ray task id, batch
+        ordinal within the task, slice content). A Ray task retry re-runs the
+        same task id and replays its batches in order, so the retry hits the
+        cache and does not mark its own rows as duplicates of themselves
+        (SURVEY.md §7.3 "exactness under retries"). Two genuinely distinct
+        batches with byte-identical content (e.g. a byte-copied input file)
+        come from different tasks/ordinals and do NOT replay. The cache is
+        bounded; callers must still consume the marked dataset exactly once
+        (materialize or write) — full plan re-executions are not replays and
+        are caught by :meth:`seal`.
         """
+        if self._sealed:
+            raise RuntimeError(
+                "Bloom shard is sealed: the marked dataset was already "
+                "consumed; a second execution of the lazy plan would "
+                "re-insert every key and mark every row duplicate "
+                "(consume-once contract, pipelines/mark_duplicates.py)"
+            )
         if batch_key is not None and batch_key in self._cache:
             return self._cache[batch_key]
         was_new = self.bf.add_hashed(h1, h2)
@@ -166,13 +178,28 @@ class _BloomShard:
             "count_estimate": self.bf.count_estimate(),
         }
 
+    def seal(self) -> None:
+        """Refuse further inserts: called once the marked dataset has been
+        consumed, so a silent plan re-execution fails loudly instead of
+        re-inserting every key (the consume-once contract made enforceable)."""
+        self._sealed = True
+
+    def unseal(self) -> None:
+        """Re-allow inserts — used by the wave/checkpoint driver, where the
+        SAME shard actors intentionally process successive waves."""
+        self._sealed = False
+
     def state(self) -> bytes:
         return self.bf.to_bytes()
 
     def load(self, data: bytes, keys_seen: int = 0, dups: int = 0) -> None:
+        """Restore filter + running counters (counters are snapshot alongside
+        the filter by state/checkpoint.py so resumed runs report true
+        keys_seen/dups, not zeros)."""
         self.bf = BloomFilter.from_bytes(data)
         self.keys_seen = keys_seen
         self.dups = dups
+        self._sealed = False
 
 
 def make_shard_actors(
@@ -223,6 +250,28 @@ class BloomMarkStage:
         self.shards = shards
         self.P = len(shards)
         self.mark_col = mark_col
+        # batch ordinal per physical Ray task: a retried task re-runs under
+        # the SAME task id and replays its batches in the same order, so
+        # (task_id, ordinal) identifies a physical batch across retries while
+        # distinguishing genuinely distinct batches with identical content
+        self._task_ordinals: dict = {}
+
+    def _batch_key(self, h1_slice: np.ndarray) -> bytes:
+        import ray
+
+        try:
+            tid = ray.get_runtime_context().get_task_id() or ""
+        except Exception:
+            tid = ""
+        ordinal = self._task_ordinals.get(tid, 0)
+        self._task_ordinals[tid] = ordinal + 1
+        if len(self._task_ordinals) > 4096:  # bounded bookkeeping
+            self._task_ordinals.pop(next(iter(self._task_ordinals)))
+        h = hashlib.blake2b(digest_size=16)
+        h.update(tid.encode())
+        h.update(ordinal.to_bytes(8, "big"))
+        h.update(h1_slice.tobytes())
+        return h.digest()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import ray
@@ -239,16 +288,14 @@ class BloomMarkStage:
             idx_sorted = idx[order]
             shard_sorted = shard_of[order]
             bounds = np.searchsorted(shard_sorted, np.arange(self.P + 1))
+            bkey_prefix = self._batch_key(h1[idx_sorted])
             futures, spans = [], []
             for s in range(self.P):
                 lo, hi = bounds[s], bounds[s + 1]
                 if lo == hi:
                     continue
                 rows = idx_sorted[lo:hi]
-                # process-independent content key for retry replay
-                bkey = int.from_bytes(
-                    hashlib.blake2b(h1[rows].tobytes(), digest_size=8).digest(), "big"
-                )
+                bkey = bkey_prefix + s.to_bytes(4, "big")
                 futures.append(self.shards[s].add.remote(h1[rows], h2[rows], bkey))
                 spans.append(rows)
             for rows, was_new in zip(spans, ray.get(futures)):

@@ -118,10 +118,18 @@ def run_with_checkpoint(
     last_done = done[-1] if done else None
     if last_done is not None:
         state_dir = os.path.join(ckpt_dir, "shards", f"wave-{last_done}")
+        counters_path = os.path.join(state_dir, "counters.json")
+        counters = []
+        if os.path.exists(counters_path):
+            with open(counters_path) as f:
+                counters = json.load(f)
         futures = []
         for j, s in enumerate(shards):
+            c = counters[j] if j < len(counters) else {"keys_seen": 0, "dups": 0}
             with open(os.path.join(state_dir, f"shard-{j}.bloom"), "rb") as f:
-                futures.append(s.load.remote(f.read()))
+                futures.append(
+                    s.load.remote(f.read(), c["keys_seen"], c["dups"])
+                )
         ray.get(futures)
 
     for i, files in enumerate(waves):
@@ -181,7 +189,8 @@ def run_with_checkpoint(
 
         res.check_capacity(allow_overcapacity=allow_overcapacity)
 
-        # snapshot shard states
+        # snapshot shard states + running counters (so a resumed run's
+        # shard_stats/check_capacity report true keys_seen/dups, not zeros)
         state_dir = os.path.join(ckpt_dir, "shards", f"wave-{i}")
         os.makedirs(state_dir, exist_ok=True)
         states = ray.get([s.state.remote() for s in shards])
@@ -190,6 +199,11 @@ def run_with_checkpoint(
             with open(tmp, "wb") as f:
                 f.write(b)
             os.replace(tmp, os.path.join(state_dir, f"shard-{j}.bloom"))
+        shard_counters = [
+            {"keys_seen": s["keys_seen"], "dups": s["dups"]}
+            for s in ray.get([s.stats.remote() for s in shards])
+        ]
+        _atomic_write_json(os.path.join(state_dir, "counters.json"), shard_counters)
         # keep only the latest snapshot to bound checkpoint size
         if i > 0:
             prev = os.path.join(ckpt_dir, "shards", f"wave-{i - 1}")

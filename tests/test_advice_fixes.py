@@ -1,0 +1,147 @@
+"""Regression tests for the round-1 ADVICE findings."""
+
+import numpy as np
+import pytest
+
+
+def test_shard_distinct_identical_batches_both_insert():
+    """Two genuinely distinct batches with byte-identical content (e.g. a
+    byte-copied input file) must BOTH insert — only a true task retry (same
+    batch_key) replays the cached verdict."""
+    from streammd_ray.stages.dedup import _BloomShard
+
+    sh = _BloomShard(1e-6, 10_000)
+    h1 = np.array([11, 22, 33, 11], dtype=np.uint64)
+    h2 = np.array([5, 6, 7, 5], dtype=np.uint64)
+
+    first = sh.add(h1, h2, b"task-A:0")
+    assert first.tolist() == [True, True, True, False]
+    # identical content, different physical batch -> all previously seen
+    second = sh.add(h1, h2, b"task-B:0")
+    assert second.tolist() == [False, False, False, False]
+    assert sh.dups == 1 + 4
+    assert sh.keys_seen == 8
+
+    # true retry: same batch_key replays the original verdict, counters
+    # unchanged
+    replay = sh.add(h1, h2, b"task-A:0")
+    assert replay.tolist() == first.tolist()
+    assert sh.dups == 5
+    assert sh.keys_seen == 8
+
+
+def test_mark_stage_batch_key_distinguishes_ordinals():
+    from streammd_ray.stages.dedup import BloomMarkStage
+
+    stage = BloomMarkStage.__new__(BloomMarkStage)
+    stage._task_ordinals = {}
+    h = np.array([1, 2, 3], dtype=np.uint64)
+    k1 = stage._batch_key(h)
+    k2 = stage._batch_key(h)  # same content, next ordinal in the same task
+    assert k1 != k2
+
+
+def test_sealed_shard_rejects_inserts():
+    from streammd_ray.stages.dedup import _BloomShard
+
+    sh = _BloomShard(1e-6, 1000)
+    sh.add(np.array([1], dtype=np.uint64), np.array([2], dtype=np.uint64))
+    sh.seal()
+    with pytest.raises(RuntimeError, match="sealed"):
+        sh.add(np.array([3], dtype=np.uint64), np.array([4], dtype=np.uint64))
+    sh.unseal()
+    out = sh.add(np.array([3], dtype=np.uint64), np.array([4], dtype=np.uint64))
+    assert out.tolist() == [True]
+
+
+def test_tdigest_nan_values_keep_weight_alignment():
+    from streammd_ray.sketches.tdigest import TDigest
+
+    td = TDigest()
+    # NaN at position 0: its weight must be dropped WITH it, so the value
+    # 100.0 keeps weight 1000 (the round-1 bug paired 100.0 with weight 1)
+    td.insert_batch(
+        np.array([np.nan, 100.0, 0.0]), weights=np.array([1.0, 1000.0, 1.0])
+    )
+    assert abs(td.quantile(0.5) - 100.0) < 0.5
+    assert td.total == pytest.approx(1001.0)
+
+
+def test_tdigest_weight_length_mismatch_raises():
+    from streammd_ray.sketches.tdigest import TDigest
+
+    td = TDigest()
+    with pytest.raises(ValueError, match="length"):
+        td.insert_batch(np.array([1.0, 2.0]), weights=np.array([1.0]))
+
+
+def test_flagship_consume_once_guard(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from streammd_ray.pipelines.flagship import run_flagship
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": ["a"] * 4 + ["b"] * 4,
+                "turn_idx": list(range(4)) * 2,
+                "role": ["user"] * 8,
+                "text": ["x", "y", "x", "z", "w", "w", "v", None],
+                "tool": [None] * 8,
+            }
+        )
+    )
+    res = run_flagship(ds, num_shards=2, mark_concurrency=(1, 2))
+    assert res.counters["turns"] > 0
+    with pytest.raises(RuntimeError, match="consumed"):
+        res.mark.marked.count()
+    with pytest.raises(RuntimeError, match="consumed"):
+        res.mark.dataset.take(1)
+
+
+def test_checkpoint_resume_restores_counters(ray_session, tmp_path):
+    """Resumed runs must report true keys_seen/dups, not zeros."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from streammd_ray.state.checkpoint import run_with_checkpoint
+
+    files = []
+    for i in range(4):
+        t = pa.table(
+            {
+                "conv_id": [f"c{i}"] * 4,
+                "turn_idx": list(range(4)),
+                "role": ["user"] * 4,
+                "text": [f"t{i}-{j}" for j in range(2)] + ["dup", "dup"],
+                "ts": pa.array([0, 1, 2, 3], pa.timestamp("us")),
+                "tool": [None] * 4,
+            }
+        )
+        path = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(t, path)
+        files.append(path)
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    m1 = run_with_checkpoint(
+        files[:2], ckpt_dir=ckpt + "-a", out_dir=out + "-a", wave_size=1, num_shards=2
+    )
+    assert m1["metrics"]["TURNS"] == 8
+
+    # two-phase run against ONE ckpt dir: first wave only (simulate by
+    # running all; then resume and confirm counters survive the reload)
+    m2 = run_with_checkpoint(
+        files, ckpt_dir=ckpt, out_dir=out, wave_size=2, num_shards=2
+    )
+    # resume with everything done: shards reload from the final snapshot
+    import json
+    import os
+
+    counters_path = os.path.join(ckpt, "shards", "wave-1", "counters.json")
+    assert os.path.exists(counters_path)
+    with open(counters_path) as f:
+        counters = json.load(f)
+    assert sum(c["keys_seen"] for c in counters) == 16
+    assert sum(c["dups"] for c in counters) == m2["metrics"]["TURNS_MARKED_DUPLICATE"]
