@@ -115,7 +115,7 @@ def run_flagship(
     mem: str | None = "256MiB",
     num_shards: int = 8,
     mark_concurrency=8,
-    batch_size: int = 131072,
+    batch_size: int | None = None,
     output_dir: str | None = None,
     **mark_kwargs: Any,
 ) -> FlagshipResult:
@@ -140,11 +140,14 @@ def run_flagship(
     # blocks never make an extra object-store hop through a separate actor
     # pool (measured ~20% of the fused pass at 32 CPUs)
     tail = SketchTail(packed)
+    # batch_size=None → one partial per BLOCK: with 64 fat input blocks that
+    # is 64 partials (~170 KB each) to tree-merge on the driver instead of
+    # hundreds — the driver-side merge stays O(blocks), not O(rows/batch)
     partials = res.marked.map_batches(
         tail,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        batch_size=max(batch_size, 262144),
+        batch_size=None,
     )
     by_name: dict[str, list[bytes]] = {}
     for row in partials.take_all():

@@ -91,7 +91,8 @@ def mark_duplicates(
     total_capacity: int | None = None,
     num_shards: int = 8,
     mark_concurrency: int = 8,
-    batch_size: int = 131072,
+    mark_mode: str = "tasks",
+    batch_size: int | None = None,
     remove_duplicates: bool = False,
     strip_previous: bool = False,
     mark_col: str = "is_duplicate",
@@ -147,23 +148,34 @@ def mark_duplicates(
 
     keyed = add_key_columns(ds, key_cols, seeds=seeds)
     # The mark stage itself is stateless (all state lives in the shard
-    # actors), so pool size affects throughput only. Default is an
-    # autoscaling (1, N) pool, which can't deadlock with the shard actors'
-    # CPU reservations on small budgets; benchmarks pass an explicit
-    # (min, max) tuple to skip the ramp-up.
-    concurrency = (
-        mark_concurrency
-        if isinstance(mark_concurrency, tuple)
-        else (1, mark_concurrency)
-    )
-    marked = keyed.map_batches(
-        BloomMarkStage,
-        fn_constructor_kwargs={"shards": shards, "mark_col": mark_col},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    # actors). Default mark_mode='tasks' runs it as a plain function closing
+    # over the shard handles: Ray fuses read → derive → mark → finish into
+    # ONE task chain with no actor pool to spawn or budget CPUs for.
+    # mark_mode='actors' keeps the explicit pool (mark_concurrency as int or
+    # (min, max) tuple) for callers that want pinned, long-lived mark workers.
+    if mark_mode == "tasks":
+        from ..stages.dedup import make_mark_fn
+
+        marked = keyed.map_batches(
+            make_mark_fn(shards, mark_col=mark_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
+    else:
+        concurrency = (
+            mark_concurrency
+            if isinstance(mark_concurrency, tuple)
+            else (1, mark_concurrency)
+        )
+        marked = keyed.map_batches(
+            BloomMarkStage,
+            fn_constructor_kwargs={"shards": shards, "mark_col": mark_col},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
 
     def finish(t: pa.Table) -> pa.Table:
         new = t[mark_col].combine_chunks()

@@ -303,6 +303,25 @@ class BloomMarkStage:
         return batch.append_column(self.mark_col, pa.array(is_dup))
 
 
+def make_mark_fn(shards, *, mark_col: str = "is_duplicate"):
+    """Task-based marking: a plain FUNCTION closing over the shard handles,
+    so Ray Data runs it as stateless tasks that FUSE with the surrounding
+    map_batches stages (read → derive → mark → finish → tail become ONE
+    task chain — no actor pool to spawn, no extra object-store hop). The
+    closure is deserialized once per worker process and the stage instance
+    (with its per-task ordinal bookkeeping) persists there, so retry-replay
+    semantics are identical to the actor-pool path."""
+    holder: dict = {}
+
+    def mark_fn(batch: pa.Table) -> pa.Table:
+        stage = holder.get("stage")
+        if stage is None:
+            stage = holder["stage"] = BloomMarkStage(shards, mark_col=mark_col)
+        return stage(batch)
+
+    return mark_fn
+
+
 class ConversationValidationError(ValueError):
     """A conversation violates the input invariant (the analog of the
     reference's group-arity error, src/markdups.cxx:96-103: it aborts when a
