@@ -18,6 +18,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..sources.io import read_parquet_clean
 from ..sources.transcripts import derive_transcripts, transcripts_sql
 from ..stages.dedup import dedup_exact_first
 from ..stages.text import (
@@ -58,7 +59,7 @@ def transcripts_ds(sf_dir: str, *, columns: list[str] | None = None):
         open(os.path.join(tmp, "_DONE"), "w").write("ok")
         shutil.rmtree(cache, ignore_errors=True)
         os.replace(tmp, cache)
-    return rd.read_parquet(cache, columns=columns)
+    return read_parquet_clean(cache, columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -67,22 +68,16 @@ def transcripts_ds(sf_dir: str, *, columns: list[str] | None = None):
 
 
 def exact_quantile_disc(ds, col: str, qs: tuple[float, ...]) -> list:
-    """Exact discrete quantiles at scale: shuffle only (value, count) pairs
-    (a groupby pre-aggregation), never the raw column; the driver folds the
-    tiny histogram. Matches DuckDB quantile_disc (rank = ceil(q·n)−1)."""
-    from ray.data.aggregate import Count
+    """Exact discrete quantiles at scale — distributed k-th selection by
+    iterative histogram refinement (stages/quantiles.py): every pass is a
+    per-batch partial over the pruned column, the driver holds a fixed
+    65536-bucket histogram, and a cardinality guard errors loudly instead of
+    OOMing on pathological skew. Matches DuckDB quantile_disc
+    (rank = ceil(q·n)−1; NaN treated as NULL — documented divergence from
+    DuckDB's NaN-sorts-greatest on NaN-bearing columns)."""
+    from ..stages.quantiles import exact_quantile_select
 
-    hist = ds.groupby(col).aggregate(Count(alias_name="n")).to_pandas()
-    hist = hist.dropna(subset=[col]).sort_values(col)
-    counts = hist["n"].to_numpy(np.int64)
-    values = hist[col].to_numpy()
-    cum = np.cumsum(counts)
-    n = int(cum[-1])
-    out = []
-    for q in qs:
-        rank = max(0, int(np.ceil(q * n)) - 1)  # DuckDB quantile_disc rank rule
-        out.append(values[np.searchsorted(cum, rank + 1, side="left")])
-    return out
+    return exact_quantile_select(ds, col, qs)
 
 
 def _one_row(d: dict) -> pa.Table:
@@ -354,7 +349,7 @@ def q_kll_latency_quantiles(sf_dir: str):
 def _docs(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 def q_text_stats(sf_dir: str):
@@ -398,7 +393,7 @@ def q_token_count_by_source(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["source", "text"])
     ds = ds.map_batches(
         lambda t: text_stats(t).select(["source", "n_tokens"]),
         batch_format="pyarrow",
@@ -440,7 +435,7 @@ def q_embedding_knn(sf_dir: str):
 
     from ..stages.similarity import embedding_topk
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qrows = sorted(ds.take(3), key=lambda r: r["vec_id"])
     q = np.stack([r["embedding"] for r in qrows if r["vec_id"] < 3])
     # queries are vec_id 0,1,2 (take(3) of a sorted-by-construction table)
@@ -477,7 +472,7 @@ def q_embedding_near_dup(sf_dir: str):
 
     from ..stages.similarity import embedding_near_dup_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     pairs = embedding_near_dup_pairs(ds, threshold=0.5)
     df = pairs.to_pandas()
     if df.empty:  # an empty Dataset drops its schema through to_pandas
@@ -518,7 +513,7 @@ def q_q1_lineitem(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag",
@@ -562,7 +557,7 @@ def q_events_windowed(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
     )
 
@@ -607,26 +602,25 @@ def q_customer_by_region(sf_dir: str):
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
-    nat2reg = dict(
-        zip(
-            nation["n_nationkey"],
-            nation["n_regionkey"].map(
-                dict(zip(region["r_regionkey"], region["r_name"]))
-            ),
-        )
+    reg_names = nation["n_regionkey"].map(
+        dict(zip(region["r_regionkey"], region["r_name"]))
     )
-    ref = ray.put(nat2reg)
+    # dense numpy lookup table indexed by nationkey (small-int dimension
+    # key) — per-batch attach is one fancy-index, no per-row Python
+    max_key = int(nation["n_nationkey"].max())
+    lookup = np.empty(max_key + 1, dtype=object)
+    lookup[nation["n_nationkey"].to_numpy()] = reg_names.to_numpy()
+    ref = ray.put(lookup)
 
     class Attach:
         def __init__(self, ref):
-            self.m = ray.get(ref)
+            self.lookup = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
-            names = np.array([self.m[k] for k in keys], dtype=object)
-            return pa.table({"r_name": pa.array(names, pa.string())})
+            return pa.table({"r_name": pa.array(self.lookup[keys], pa.string())})
 
-    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_nationkey"])
     out = ds.map_batches(
         Attach,
         fn_constructor_kwargs={"ref": ref},
@@ -650,10 +644,10 @@ def q_orders_per_segment(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
 
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
-    cust = rd.read_parquet(
+    cust = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
     joined = orders.join(
@@ -680,7 +674,7 @@ GROUP BY c.c_mktsegment"""
 def q_top_orders(sf_dir: str):
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
     )
     return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
@@ -697,7 +691,7 @@ def q_sessionize_events(sf_dir: str, gap_minutes: int = 30):
     user_id only; windowing is a per-group vectorized pandas pass."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     gap_us = gap_minutes * 60 * 1_000_000
@@ -754,7 +748,7 @@ def q_events_asof_signup(sf_dir: str):
     or before it (sorted per-user pass — merge_asof semantics)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
     )
 
@@ -783,7 +777,7 @@ FROM events"""
 def q_event_value_quantiles(sf_dir: str):
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
     p50, p90, p99 = exact_quantile_disc(ds, "value", (0.5, 0.9, 0.99))
     return _one_row(
         {"p50": float(p50), "p90": float(p90), "p99": float(p99)}
@@ -797,18 +791,70 @@ def sql_event_value_quantiles() -> str:
 FROM events"""
 
 
-def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
-    """Exact char-trigram Jaccard near-dup pairs over documents, restricted
-    to minhash-LSH candidates (the scale pattern: sketch candidates → exact
-    verify)."""
-    import pyarrow.parquet as pq
-
+def ngram_jaccard_pairs(
+    docs,
+    *,
+    threshold: float = 0.8,
+    n: int = 3,
+    candidate_threshold: float = 0.4,
+    num_partitions: int = 8,
+):
+    """Exact char-n-gram Jaccard near-dup pairs, fully distributed: char-
+    shingle minhash-LSH candidates (recall ≥ 1−5e-8 at the target threshold
+    — the signature estimates the SAME char-trigram Jaccard being verified)
+    → hash-join both texts onto the candidate pairs → exact set-Jaccard
+    verification inside map_batches over the pairs. The driver never holds
+    the text table (round 1 read it all into pandas and looped per pair)."""
     from ..stages.similarity import _char_ngrams, minhash_lsh_pairs
 
     cands = minhash_lsh_pairs(
-        _docs(sf_dir), num_perm=128, bands=32, shingle_k=3, threshold=0.5
-    ).to_pandas()
-    if cands.empty:
+        docs,
+        num_perm=128,
+        bands=32,
+        shingle_k=n,
+        shingle_mode="char",
+        threshold=candidate_threshold,
+    ).select_columns(["id_a", "id_b"])
+
+    def rename(to_id: str, to_text: str):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([to_id, to_text])
+
+        return f
+
+    texts_a = docs.map_batches(rename("id_a", "__text_a"), batch_format="pyarrow")
+    texts_b = docs.map_batches(rename("id_b", "__text_b"), batch_format="pyarrow")
+    j1 = cands.join(texts_a, "inner", num_partitions=num_partitions, on=("id_a",))
+    j2 = j1.join(texts_b, "inner", num_partitions=num_partitions, on=("id_b",))
+
+    def verify(t: pa.Table) -> pa.Table:
+        ids_a = t["id_a"].to_numpy(zero_copy_only=False)
+        ids_b = t["id_b"].to_numpy(zero_copy_only=False)
+        ta = t["__text_a"].to_pylist()
+        tb = t["__text_b"].to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for a, b, x, y in zip(ids_a, ids_b, ta, tb):
+            sa, sb = _char_ngrams(x or "", n), _char_ngrams(y or "", n)
+            u = len(sa | sb)
+            j = len(sa & sb) / u if u else 0.0
+            if j >= threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(round(j, 6))
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
+    out = ngram_jaccard_pairs(_docs(sf_dir), threshold=threshold).to_pandas()
+    if out.empty:
         return pd.DataFrame(
             {
                 "id_a": pd.Series(dtype=np.int64),
@@ -816,19 +862,56 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.8):
                 "jaccard": pd.Series(dtype=np.float64),
             }
         )
-    texts = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).to_pandas().set_index("doc_id")["text"]
-    rows = []
-    for a, b in zip(cands["id_a"], cands["id_b"]):
-        sa, sb = _char_ngrams(texts[a], 3), _char_ngrams(texts[b], 3)
-        u = len(sa | sb)
-        j = len(sa & sb) / u if u else 0.0
-        if j >= threshold:
-            rows.append((int(a), int(b), round(j, 6)))
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]).astype(
-        {"id_a": np.int64, "id_b": np.int64, "jaccard": np.float64}
-    )
+    return out.astype({"id_a": np.int64, "id_b": np.int64, "jaccard": np.float64})
+
+
+def sql_ngram_jaccard_pairs() -> str:
+    """Exact all-pairs oracle (feasible at validation scale: 500 docs)."""
+    return r"""WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN length(t) < 3 THEN [t]
+              ELSE list_distinct([substr(t, i, 3) FOR i IN range(1, length(t) - 1)])
+         END AS gs
+  FROM norm WHERE length(t) > 0
+)
+SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+           / len(list_distinct(a.gs || b.gs)) AS jac
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+   -- exact prefilter: J = I/U <= min(|A|,|B|)/max(|A|,|B|), so pairs whose
+   -- gram-set sizes differ by more than 20% cannot reach J >= 0.8
+   AND len(a.gs) <= 1.25 * len(b.gs) AND len(b.gs) <= 1.25 * len(a.gs)
+) WHERE jac >= 0.8"""
+
+
+def q_embedding_lsh_near_dup(sf_dir: str):
+    """APPROXIMATE near-dup pairs via multi-band hyperplane LSH + in-bucket
+    exact cosine verify — the sub-quadratic scale path beside the exact
+    block-pair operator. No oracle; recall vs the exact operator is
+    property-tested (tests/test_similarity.py)."""
+    import ray.data as rd
+
+    from ..stages.similarity import embedding_lsh_near_dup_pairs
+
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # 4-plane bands: at cosine 0.5 each band matches with (1-60/180)^4 ≈ 0.2,
+    # OR-ed over 16 bands → ~0.97 recall (vs ~0.27 with 8-plane bands)
+    out = embedding_lsh_near_dup_pairs(ds, threshold=0.5, n_planes=4, n_bands=16)
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=np.int64),
+                "id_b": pd.Series(dtype=np.int64),
+                "cosine": pd.Series(dtype=np.float64),
+            }
+        )
+    return df.astype({"id_a": np.int64, "id_b": np.int64})
 
 
 def q_embedding_ann_lsh(sf_dir: str):
@@ -839,7 +922,7 @@ def q_embedding_ann_lsh(sf_dir: str):
 
     from ..stages.similarity import embedding_lsh_topk
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     rows = sorted(ds.take(3), key=lambda r: r["vec_id"])
     q = np.stack([r["embedding"] for r in rows if r["vec_id"] < 3])
     return embedding_lsh_topk(ds, q, k=5, n_planes=8)
@@ -853,7 +936,7 @@ def q_embedding_ann_ivf(sf_dir: str):
 
     from ..stages.similarity import embedding_ivf_topk
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     rows = sorted(ds.take(3), key=lambda r: r["vec_id"])
     q = np.stack([r["embedding"] for r in rows if r["vec_id"] < 3])
     return embedding_ivf_topk(ds, q, k=5, n_clusters=8, nprobe=3)
@@ -895,6 +978,7 @@ QUERIES = {
     "events_asof_signup": q_events_asof_signup,
     "event_value_quantiles": q_event_value_quantiles,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ann_ivf": q_embedding_ann_ivf,
 }
@@ -924,4 +1008,5 @@ ORACLES = {
     "conv_rolling_stats": sql_conv_rolling_stats(),
     "events_asof_signup": sql_events_asof_signup(),
     "event_value_quantiles": sql_event_value_quantiles(),
+    "ngram_jaccard_pairs": sql_ngram_jaccard_pairs(),
 }

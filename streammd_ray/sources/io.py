@@ -18,6 +18,22 @@ from .transcripts import TRANSCRIPTS_SCHEMA
 FORMATS = ("parquet", "jsonl", "csv")
 
 
+def read_parquet_clean(paths, **kwargs):
+    """read_parquet + strip schema metadata. Parquet written by pandas
+    carries a ``pandas`` schema-metadata entry that makes pyarrow Schemas
+    unhashable — Ray Data then logs "Failed to hash the schemas (for
+    deduplication)" on every block unification and falls back to the slow
+    unify path. Stripping at the read (a fused, zero-copy map) keeps every
+    downstream schema clean."""
+    import ray.data as rd
+
+    return rd.read_parquet(paths, **kwargs).map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def _coerce(batch: pa.Table) -> pa.Table:
     out = {}
     for field in TRANSCRIPTS_SCHEMA:

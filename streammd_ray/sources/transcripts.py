@@ -104,6 +104,12 @@ def _doc_lookup(sf_dir: str) -> tuple[np.ndarray, int]:
     return texts, n
 
 
+def _read_parquet_clean(paths, **kwargs):
+    from .io import read_parquet_clean
+
+    return read_parquet_clean(paths, **kwargs)
+
+
 def derive_transcripts(sf_dir: str, *, ray_remote_args: dict | None = None):
     """events + documents → transcripts as a ray.data.Dataset.
 
@@ -119,7 +125,7 @@ def derive_transcripts(sf_dir: str, *, ray_remote_args: dict | None = None):
     texts, ndocs = _doc_lookup(sf_dir)
     texts_ref = ray.put(texts)
 
-    ds = rd.read_parquet(
+    ds = _read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
     )

@@ -47,17 +47,62 @@ def _char_ngrams(text: str, n: int) -> set:
     return {t[i : i + n] for i in range(len(t) - n + 1)}
 
 
+def _list_matrix(col, dtype) -> np.ndarray:
+    """FixedSizeList column → (n, width) matrix via the flat values buffer
+    (no per-row Python)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+    return flat.reshape(len(arr), -1)
+
+
+def _sig_matrix(col) -> np.ndarray:
+    """FixedSizeList<uint64> column → (n, P) uint64 matrix, zero-copy-ish."""
+    return _list_matrix(col, np.uint64)
+
+
+def _fixed_binary_matrix(col, num_perm: int) -> np.ndarray:
+    """FixedSizeBinary(num_perm*8) column → (n, num_perm) uint64 matrix via
+    one frombuffer over the flat data buffer (no per-row Python)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    width = num_perm * 8
+    flat = np.frombuffer(
+        arr.buffers()[1],
+        dtype=np.uint64,
+        count=len(arr) * num_perm,
+        offset=arr.offset * width,
+    )
+    return flat.reshape(len(arr), num_perm)
+
+
 class MinHasher:
     """Vectorized minhash signatures: per doc, sig_i = min over shingles of
     ((a_i·h + b_i) mod p), h = 64-bit shingle hash. Deterministic (seeded
     permutation parameters); stateful setup happens once per actor."""
 
-    def __init__(self, num_perm: int = 128, shingle_k: int = 5, seed: int = 7):
+    def __init__(
+        self,
+        num_perm: int = 128,
+        shingle_k: int = 5,
+        seed: int = 7,
+        shingle_mode: str = "word",
+    ):
         rng = np.random.default_rng(seed)
         self.num_perm = num_perm
         self.shingle_k = shingle_k
+        if shingle_mode not in ("word", "char"):
+            raise ValueError(f"unknown shingle_mode: {shingle_mode}")
+        self.shingle_mode = shingle_mode
         self.a = rng.integers(0, MASK64, num_perm, dtype=np.uint64) | np.uint64(1)
         self.b = rng.integers(0, MASK64, num_perm, dtype=np.uint64)
+
+    def _shingles(self, text: str) -> list:
+        if self.shingle_mode == "char":
+            # list (not set): duplicate shingles cannot change a min
+            t = " ".join(text.split()).lower()
+            if len(t) < self.shingle_k:
+                return [t] if t else []
+            return [t[i : i + self.shingle_k] for i in range(len(t) - self.shingle_k + 1)]
+        return _shingle_word_grams(text, self.shingle_k)
 
     def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
         if shingle_hashes.size == 0:
@@ -70,35 +115,45 @@ class MinHasher:
         return vals.min(axis=1)
 
     def batch_signatures(self, texts: list) -> np.ndarray:
-        """(n_docs, num_perm) uint64; null/empty docs get all-MAX signatures."""
+        """(n_docs, num_perm) uint64; null/empty docs get all-MAX signatures.
+
+        One (P, S_total) multiply-add over the batch-concatenated shingle
+        hashes + a single ``np.minimum.reduceat`` over the per-doc spans —
+        no per-document numpy loop."""
         out = np.full((len(texts), self.num_perm), MASK64, dtype=np.uint64)
         # hash all shingles of the batch in ONE vectorized call
         all_shingles: list[str] = []
-        spans = []
-        for t in texts:
+        starts, doc_ids = [], []
+        for i, t in enumerate(texts):
             if t is None:
-                spans.append((0, 0))
                 continue
-            sh = _shingle_word_grams(t, self.shingle_k)
-            spans.append((len(all_shingles), len(all_shingles) + len(sh)))
-            all_shingles.extend(sh)
+            sh = self._shingles(t)
+            if sh:
+                starts.append(len(all_shingles))
+                doc_ids.append(i)
+                all_shingles.extend(sh)
         if not all_shingles:
             return out
         hashes = hash64_batch(all_shingles, seed=17)
-        for i, (lo, hi) in enumerate(spans):
-            if hi > lo:
-                out[i] = self.signature(hashes[lo:hi])
+        vals = self.a[:, None] * hashes[None, :] + self.b[:, None]  # (P, S)
+        mins = np.minimum.reduceat(vals, np.asarray(starts), axis=1)  # (P, D')
+        out[np.asarray(doc_ids)] = mins.T
         return out
 
 
 def minhash_signature_stage(
-    num_perm: int = 128, shingle_k: int = 5, *, col: str = "text", id_col: str = "doc_id"
+    num_perm: int = 128,
+    shingle_k: int = 5,
+    *,
+    col: str = "text",
+    id_col: str = "doc_id",
+    shingle_mode: str = "word",
 ):
     """Returns a map_batches callable class emitting (id, sig list) rows."""
 
     class MinHashStage:
         def __init__(self):
-            self.mh = MinHasher(num_perm, shingle_k)
+            self.mh = MinHasher(num_perm, shingle_k, shingle_mode=shingle_mode)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             texts = batch[col].to_pylist()
@@ -123,8 +178,9 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     bands: int = 32,
     shingle_k: int = 5,
+    shingle_mode: str = "word",
     threshold: float = 0.8,
-    concurrency=(1, 8),
+    concurrency=None,
 ):
     """Candidate near-dup pairs via MinHash-LSH, verified by signature
     Jaccard estimate ≥ threshold. Returns a Dataset of (id_a, id_b, jaccard)
@@ -137,14 +193,44 @@ def minhash_lsh_pairs(
     by capping per-bucket pair emission) → global pair dedup via groupby.
     """
     rows_per_band = num_perm // bands
-    Stage = minhash_signature_stage(num_perm, shingle_k, col=col, id_col=id_col)
-    sigs = ds.map_batches(
-        Stage, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+    Stage = minhash_signature_stage(
+        num_perm, shingle_k, col=col, id_col=id_col, shingle_mode=shingle_mode
     )
+    # batch_size caps the (num_perm, total_shingles) work matrix in
+    # batch_signatures to a few hundred MB per worker. The signature table is
+    # consumed by THREE branches (band explode + both sides of the pair
+    # join); materialize it once — ~1 KB/doc, the intermediate a production
+    # run would persist — so the read+signature pass runs once, not thrice.
+    if concurrency is None:
+        # trivial per-worker setup (a seeded rng) — run as plain tasks; the
+        # stage instance is cached per worker process via the closure
+        holder: dict = {}
+
+        def sig_fn(batch: pa.Table) -> pa.Table:
+            st = holder.get("s")
+            if st is None:
+                st = holder["s"] = Stage()
+            return st(batch)
+
+        fn, kw = sig_fn, {}
+    else:
+        fn, kw = Stage, {"concurrency": concurrency}
+    sigs = ds.map_batches(
+        fn,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=1024,
+        **kw,
+    ).materialize()
 
     def explode_bands(batch: pa.Table) -> pa.Table:
+        """(band, bucket, doc_id) ONLY — the signature does NOT ride the
+        candidate-generation shuffle (round-1 shipped the full 128-minima
+        signature with every of the 32 band rows: 32x duplication). The
+        signatures are joined back onto the deduplicated candidate PAIRS,
+        which are far fewer than band rows."""
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        sig = np.stack(batch["minhash"].to_numpy(zero_copy_only=False))
+        sig = _sig_matrix(batch["minhash"])
         n = len(ids)
         band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
         doc_ids = np.tile(ids, bands)
@@ -161,10 +247,6 @@ def minhash_lsh_pairs(
                 "band": pa.array(band_ids, pa.int32()),
                 "bucket": pa.array(hashes, pa.uint64()),
                 id_col: pa.array(doc_ids),
-                # full signature travels with each band row so bucket-local
-                # verification needs no second join (documented tradeoff:
-                # bands× signature duplication vs a signatures shuffle-join)
-                "fullsig": pa.array(list(np.tile(sig, (bands, 1))), pa.list_(pa.uint64(), num_perm)),
             }
         )
 
@@ -174,31 +256,73 @@ def minhash_lsh_pairs(
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        g = g.sort_values(id_col).head(MAX_BUCKET)
-        ids = g[id_col].to_numpy()
-        sig = np.stack(g["fullsig"].to_numpy())
-        n = len(ids)
-        eq = (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
-        iu = np.triu_indices(n, k=1)
-        jac = eq[iu]
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
+            )
+        ids = np.sort(g[id_col].to_numpy())[:MAX_BUCKET]
+        iu = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
+
+    cand = exploded.groupby(["band", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    ).map_batches(
+        lambda t: t, batch_format="pyarrow", zero_copy_batch=True
+    )  # pandas→arrow: Ray's hash aggregate is ~20x slower on pandas blocks
+    # the same pair surfaces from several bands — Count-aggregate dedups it
+    # in one vectorized hash aggregation (no per-pair pandas group call)
+    from ray.data.aggregate import Count
+
+    uniq = cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__nb"))
+
+    # join each side's signature once (signatures stored as fixed-size
+    # binary — hash-join-able payload; decoded zero-copy via frombuffer)
+    def pack_sig(t: pa.Table) -> pa.Table:
+        sig = np.ascontiguousarray(_sig_matrix(t["minhash"]))
+        buf = pa.py_buffer(sig.tobytes())
+        arr = pa.Array.from_buffers(pa.binary(num_perm * 8), len(sig), [None, buf])
+        return pa.table({id_col: t[id_col], "sig": arr})
+
+    packed = sigs.map_batches(pack_sig, batch_format="pyarrow")
+    j1 = uniq.join(
+        packed.map_batches(
+            lambda t: t.rename_columns(["id_a", "sig_a"]), batch_format="pyarrow"
+        ),
+        "inner",
+        num_partitions=8,
+        on=("id_a",),
+    )
+    j2 = j1.join(
+        packed.map_batches(
+            lambda t: t.rename_columns(["id_b", "sig_b"]), batch_format="pyarrow"
+        ),
+        "inner",
+        num_partitions=8,
+        on=("id_b",),
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        sa = _fixed_binary_matrix(t["sig_a"], num_perm)
+        sb = _fixed_binary_matrix(t["sig_b"], num_perm)
+        jac = (sa == sb).mean(axis=1)
         keep = jac >= threshold
-        return pd.DataFrame(
+        return pa.table(
             {
-                "id_a": ids[iu[0][keep]],
-                "id_b": ids[iu[1][keep]],
-                "jaccard": np.round(jac[keep], 6),
+                "id_a": t["id_a"].combine_chunks().filter(pa.array(keep)),
+                "id_b": t["id_b"].combine_chunks().filter(pa.array(keep)),
+                "jaccard": pa.array(np.round(jac[keep], 6)),
             }
         )
 
-    pairs = exploded.groupby(["band", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # same pair can surface from several bands — keep one
-    return (
-        pairs.groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .select_columns(["id_a", "id_b", "jaccard"])
+    return j2.map_batches(verify, batch_format="pyarrow").select_columns(
+        ["id_a", "id_b", "jaccard"]
     )
 
 
@@ -310,10 +434,17 @@ def simhash_pairs(
         .map_batches(explode, batch_format="pyarrow")
         .groupby(["chunk", "val"])
         .map_groups(bucket_pairs, batch_format="pandas")
-    )
+    ).map_batches(
+        lambda t: t, batch_format="pyarrow", zero_copy_batch=True
+    )  # pandas→arrow: Ray's hash aggregate is ~20x slower on pandas blocks
+    # the same pair surfaces from several chunks with the SAME hamming —
+    # a Min aggregate dedups in one vectorized hash aggregation instead of
+    # a per-pair pandas map_groups call
+    from ray.data.aggregate import Min
+
     return (
         pairs.groupby(["id_a", "id_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Min("hamming", alias_name="hamming"))
         .select_columns(["id_a", "id_b", "hamming"])
     )
 
@@ -404,51 +535,77 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    concurrency=(1, 8),
 ):
-    """All pairs with cosine ≥ threshold. The full matrix is broadcast once
-    (ray.put) and each batch matmuls against it — O(n²) compute distributed
-    over batches with no shuffle; for n beyond broadcast size use
-    :func:`embedding_lsh_buckets` first and verify within buckets."""
+    """EXACT all pairs with cosine ≥ threshold, distributed as block-pair
+    tasks: the (id, normalized-vector) table is materialized into B compact
+    blocks (sized by DataContext.target_max_block_size) and one Ray task per block pair
+    (i ≤ j) matmuls the two blocks — O(n²) COMPUTE spread over B(B+1)/2
+    tasks, with NO driver-side materialization and no whole-table broadcast
+    (each task fetches exactly two blocks from the object store; round 1's
+    version did ds.to_pandas() + ray.put of the entire table).
+
+    This is the raw-task escape hatch the Dataset API lacks (an all-pairs
+    self-join); the partitioning assumption is only that a single BLOCK fits
+    a worker's heap. For an approximate sub-quadratic path use
+    :func:`embedding_lsh_buckets` + within-bucket verification
+    (:func:`embedding_lsh_near_dup_pairs`)."""
     import ray
+    import ray.data as rd
 
-    all_df = ds.select_columns([id_col, vec_col]).to_pandas()
-    ids_all = all_df[id_col].to_numpy()
-    emb_all = np.stack(all_df[vec_col].to_numpy()).astype(np.float64)
-    emb_all = emb_all / np.maximum(
-        np.linalg.norm(emb_all, axis=1, keepdims=True), 1e-12
+    def prep(t: pa.Table) -> pa.Table:
+        emb = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        dim = emb.shape[1] if emb.ndim == 2 else 0
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "__nv": pa.FixedSizeListArray.from_arrays(
+                    pa.array(emb.ravel(), pa.float64()), dim
+                ),
+            }
+        )
+
+    compact = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
     )
-    ref = ray.put((ids_all, emb_all))
+    block_refs = [
+        ref
+        for bundle in compact.iter_internal_ref_bundles()
+        for ref in bundle.block_refs
+    ]
 
-    class Pairs:
-        def __init__(self, ref, threshold):
-            self.ids_all, self.emb_all = ray.get(ref)
-            self.t = threshold
+    @ray.remote
+    def pair_task(ta, tb, same: bool) -> pa.Table:
+        ids_a = ta[id_col].to_numpy(zero_copy_only=False)
+        ids_b = tb[id_col].to_numpy(zero_copy_only=False)
+        va = _list_matrix(ta["__nv"], np.float64)
+        vb = _list_matrix(tb["__nv"], np.float64)
+        sims = va @ vb.T
+        ai, bj = np.nonzero(sims >= threshold)
+        keep = ids_a[ai] < ids_b[bj]  # id_a < id_b; also kills self-pairs
+        if not same:
+            # cross-block: a pair can appear with ids in either orientation
+            rev = ids_a[ai] > ids_b[bj]
+            out_a = np.concatenate([ids_a[ai][keep], ids_b[bj][rev]])
+            out_b = np.concatenate([ids_b[bj][keep], ids_a[ai][rev]])
+            out_s = np.concatenate([sims[ai, bj][keep], sims[ai, bj][rev]])
+        else:
+            out_a, out_b, out_s = ids_a[ai][keep], ids_b[bj][keep], sims[ai, bj][keep]
+        return pa.table(
+            {
+                "id_a": pa.array(out_a),
+                "id_b": pa.array(out_b),
+                "cosine": pa.array(np.round(out_s, 6)),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
-                np.float64
-            )
-            emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-            sims = emb @ self.emb_all.T
-            bi, aj = np.nonzero(sims >= self.t)
-            keep = ids[bi] < self.ids_all[aj]  # upper triangle, no self-pairs
-            return pa.table(
-                {
-                    "id_a": pa.array(ids[bi][keep]),
-                    "id_b": pa.array(self.ids_all[aj][keep]),
-                    "cosine": pa.array(np.round(sims[bi, aj][keep], 6)),
-                }
-            )
-
-    return ds.map_batches(
-        Pairs,
-        fn_constructor_kwargs={"ref": ref, "threshold": threshold},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+    tasks = []
+    for i in range(len(block_refs)):
+        for j in range(i, len(block_refs)):
+            tasks.append(pair_task.remote(block_refs[i], block_refs[j], i == j))
+    return rd.from_arrow_refs(tasks)
 
 
 def embedding_lsh_buckets(
@@ -491,6 +648,116 @@ def embedding_lsh_buckets(
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=(1, 8),
+    )
+
+
+def embedding_lsh_near_dup_pairs(
+    ds,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_bands: int = 4,
+    seed: int = 31,
+    max_bucket: int = 4096,
+):
+    """APPROXIMATE near-dup pairs, sub-quadratic: multi-band random-
+    hyperplane LSH (a pair is a candidate when it shares a bucket in ANY of
+    the ``n_bands`` independent plane sets — the multi-probe/band-OR recall
+    pattern), exact cosine verification INSIDE each bucket group, then a
+    Max-aggregate pair dedup. Shuffles (band, bucket, id, normalized vector)
+    — n_bands× vector duplication, the documented price of bucket-local
+    verification; candidates never touch the driver.
+
+    Recall vs the exact block-pair operator is property-tested
+    (tests/test_similarity.py); at threshold t the per-band match
+    probability is (1 − arccos(t)/π)^n_planes, OR-ed over bands."""
+    import ray
+
+    rng = np.random.default_rng(seed)
+    first = ds.take(1)[0][vec_col]
+    dim = len(first)
+    planes = rng.standard_normal((n_bands, dim, n_planes))
+    ref = ray.put(planes)
+    bits = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+
+    class Explode:
+        def __init__(self, ref):
+            self.planes = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            emb = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+            emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            n = len(ids)
+            out_band = np.repeat(np.arange(n_bands, dtype=np.int32), n)
+            out_ids = np.tile(ids, n_bands)
+            buckets = np.empty(n_bands * n, dtype=np.uint64)
+            for b in range(n_bands):
+                signs = (emb @ self.planes[b]) > 0
+                buckets[b * n : (b + 1) * n] = (
+                    signs.astype(np.uint64) * bits[None, :]
+                ).sum(axis=1)
+            flat = np.tile(emb, (n_bands, 1))
+            return pa.table(
+                {
+                    "band": pa.array(out_band),
+                    "bucket": pa.array(buckets, pa.uint64()),
+                    id_col: pa.array(out_ids),
+                    "__nv": pa.FixedSizeListArray.from_arrays(
+                        pa.array(flat.ravel(), pa.float64()), dim
+                    ),
+                }
+            )
+
+    exploded = ds.select_columns([id_col, vec_col]).map_batches(
+        Explode,
+        fn_constructor_kwargs={"ref": ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=np.int64),
+                "id_b": pd.Series(dtype=np.int64),
+                "cosine": pd.Series(dtype=np.float64),
+            }
+        )
+        if len(g) < 2:
+            return empty
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy()
+        v = np.stack(g["__nv"].to_numpy())
+        sims = v @ v.T
+        ai, bj = np.nonzero(sims >= threshold)
+        keep = ids[ai] < ids[bj]
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": ids[ai][keep],
+                "id_b": ids[bj][keep],
+                "cosine": np.round(sims[ai, bj][keep], 6),
+            }
+        )
+
+    pairs = exploded.groupby(["band", "bucket"]).map_groups(
+        bucket_verify, batch_format="pandas"
+    ).map_batches(
+        lambda t: t, batch_format="pyarrow", zero_copy_batch=True
+    )  # pandas→arrow: Ray's hash aggregate is ~20x slower on pandas blocks
+    from ray.data.aggregate import Max
+
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Max("cosine", alias_name="cosine"))
+        .select_columns(["id_a", "id_b", "cosine"])
     )
 
 

