@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--show-capacity", action="store_true")
     ap.add_argument("--single", action="store_true", help="per-conversation scope")
     ap.add_argument("--strip-previous", action="store_true")
+    ap.add_argument(
+        "--sort-output",
+        action="store_true",
+        help="enforce stable (conv_id, turn_idx) ordering on the output "
+        "(the reference's stream-order invariant; costs one range sort)",
+    )
     ap.add_argument("--num-shards", type=int, default=8)
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--wave-size", type=int, default=8)
@@ -152,7 +158,9 @@ def main(argv=None) -> int:
                     "(--allow-overcapacity given, continuing)",
                     file=sys.stderr,
                 )
-            write_transcripts(res.dataset, args.output, fmt=args.output_format)
+            write_transcripts(
+                res.dataset, args.output, fmt=args.output_format, sort=args.sort_output
+            )
             metrics = compute_metrics(res.marked, exact_conversations=False)
 
         with open(args.metrics, "w") as f:

@@ -53,6 +53,15 @@ class MarkResult:
 
         return ray.get([s.stats.remote() for s in self.shards])
 
+    def release(self) -> None:
+        """Kill the shard actors (frees their filter memory). Call when the
+        marked dataset and all stats/estimates have been consumed."""
+        import ray
+
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
     def merged_filter(self) -> BloomFilter:
         """OR of all shard states — for global estimates ONLY, never marking."""
         import ray

@@ -159,6 +159,7 @@ def q_dedup_bloom_metrics(sf_dir: str):
     ds = transcripts_ds(sf_dir)
     res = mark_duplicates(ds, p=1e-9, num_shards=4, materialize=True)
     m = compute_metrics(res.marked)
+    res.release()
     return _one_row(
         {
             "turns": int(m["TURNS"]),
@@ -502,6 +503,88 @@ def q_media_features(sf_dir: str):
     ds = rd.from_arrow(make_fake_media_table(128, seed=11))
     out = decode_media(ds, decoder="fake", batch_size=16)
     return out.select_columns(["media_id", "n_bytes", "width", "height", "channels"])
+
+
+def q_transcripts_sorted(sf_dir: str):
+    """ORDER-VERIFIED query: sort the transcripts by (conv_id, turn_idx) in
+    Ray, then stamp each row with its PHYSICAL position in the sorted
+    stream. Hash-matching against the oracle's row_number() proves the
+    engine's sort actually produced the stable output ordering the
+    input_hint requires — not just the right row set. (The driver-side
+    enumerate is verification plumbing at validation scale; the production
+    path is write_transcripts(sort=True), which writes range-partitioned
+    part files in block order.)"""
+    ds = transcripts_ds(sf_dir, columns=["conv_id", "turn_idx", "role"])
+    df = ds.sort(["conv_id", "turn_idx"]).to_pandas()  # preserves block order
+    df = df.reset_index(drop=True)
+    df.insert(0, "out_pos", np.arange(len(df), dtype=np.int64))
+    return df
+
+
+def sql_transcripts_sorted() -> str:
+    return f"""{T_CTE}
+SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS out_pos,
+       conv_id, turn_idx, role
+FROM transcripts"""
+
+
+# ---------------------------------------------------------------------------
+# sampling (deterministic, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_SEED = 7
+_SAMPLE_RATE = 0.1
+_STRAT_RATES = {"src0": 0.5, "src1": 0.25, "src7": 1.0}
+_STRAT_DEFAULT = 0.05
+
+
+def q_sample_documents(sf_dir: str):
+    """Seeded deterministic uniform sample of documents (the engine-
+    independent LCG rule, stages/sampling.py) — unlike random_sample, the
+    selected row SET is reproducible and DuckDB-checkable."""
+    from ..stages.sampling import sample_uniform
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return sample_uniform(ds, rate=_SAMPLE_RATE, key_col="doc_id", seed=_SAMPLE_SEED)
+
+
+def sql_sample_documents() -> str:
+    from ..stages.sampling import sample_sql_predicate
+
+    pred = sample_sql_predicate(_SAMPLE_RATE, "doc_id", seed=_SAMPLE_SEED)
+    return f"SELECT doc_id, source FROM documents WHERE {pred}"
+
+
+def q_sample_stratified(sf_dir: str):
+    """Per-source stratified deterministic sample (per-stratum rates with a
+    default for unlisted strata)."""
+    from ..stages.sampling import sample_stratified
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return sample_stratified(
+        ds,
+        rates=_STRAT_RATES,
+        strata_col="source",
+        key_col="doc_id",
+        default_rate=_STRAT_DEFAULT,
+        seed=_SAMPLE_SEED,
+    )
+
+
+def sql_sample_stratified() -> str:
+    from ..stages.sampling import _threshold, LCG_ADD, LCG_MULT, TWO64
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN {_threshold(r)}" for s, r in _STRAT_RATES.items()
+    )
+    return f"""SELECT doc_id, source FROM documents
+WHERE CAST(((CAST(doc_id AS HUGEINT) + {_SAMPLE_SEED}) * {LCG_MULT}
+            + {LCG_ADD}) % {TWO64} AS UBIGINT)
+      < (CASE source {cases} ELSE {_threshold(_STRAT_DEFAULT)} END)"""
 
 
 # ---------------------------------------------------------------------------
@@ -947,6 +1030,7 @@ def q_embedding_ann_ivf(sf_dir: str):
 
 QUERIES = {
     "transcripts": q_transcripts,
+    "transcripts_sorted": q_transcripts_sorted,
     "dedup_exact_first": q_dedup_exact_first,
     "dedup_per_conversation": q_dedup_per_conversation,
     "dedup_remove": q_dedup_remove,
@@ -978,6 +1062,8 @@ QUERIES = {
     "events_asof_signup": q_events_asof_signup,
     "event_value_quantiles": q_event_value_quantiles,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "sample_documents": q_sample_documents,
+    "sample_stratified": q_sample_stratified,
     "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ann_ivf": q_embedding_ann_ivf,
@@ -985,6 +1071,7 @@ QUERIES = {
 
 ORACLES = {
     "transcripts": sql_transcripts(),
+    "transcripts_sorted": sql_transcripts_sorted(),
     "dedup_exact_first": sql_dedup_exact_first(),
     "dedup_per_conversation": sql_dedup_per_conversation(),
     "dedup_remove": sql_dedup_remove(),
@@ -1009,4 +1096,6 @@ ORACLES = {
     "events_asof_signup": sql_events_asof_signup(),
     "event_value_quantiles": sql_event_value_quantiles(),
     "ngram_jaccard_pairs": sql_ngram_jaccard_pairs(),
+    "sample_documents": sql_sample_documents(),
+    "sample_stratified": sql_sample_stratified(),
 }

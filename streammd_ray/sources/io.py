@@ -87,7 +87,25 @@ def read_transcripts(paths, *, fmt: str = "parquet", **read_kwargs):
     return ds.map_batches(_coerce, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def write_transcripts(ds, out_dir: str, *, fmt: str = "parquet", **write_kwargs):
+def write_transcripts(
+    ds,
+    out_dir: str,
+    *,
+    fmt: str = "parquet",
+    sort: bool = False,
+    sort_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    **write_kwargs,
+):
+    """Write the transcripts table; ``sort=True`` enforces the input_hint's
+    stable (conv_id, turn_idx) output ordering (SURVEY.md §4.2 — the
+    reference gets this free from stream order, a distributed engine must
+    sort). Ray's sort range-partitions, so block k holds keys entirely below
+    block k+1 and write_parquet emits files in block order: reading the part
+    files in filename order replays the global order. Order-verified
+    end-to-end by tests/test_ordering.py and the ``transcripts_sorted``
+    oracle query."""
+    if sort:
+        ds = ds.sort(list(sort_cols))
     if fmt == "parquet":
         ds.write_parquet(out_dir, **write_kwargs)
     elif fmt == "jsonl":

@@ -209,7 +209,7 @@ def make_shard_actors(
     total_capacity: int | None = None,
     mem: str | None = None,
     seeds=(SEED_A, SEED_B),
-    num_cpus: float = 0.25,
+    num_cpus: float = 0,
 ):
     """Create the P Bloom shard actors.
 
@@ -218,6 +218,12 @@ def make_shard_actors(
     configured FPR p at its share (SURVEY.md §7.3 FPR accounting). P is fixed
     for the run and recorded in lineage — state partition count must be
     deterministic, never autoscaled.
+
+    ``num_cpus=0`` (default): the shards are short-burst RPC servers driven
+    by the marking tasks, which hold the real CPU slots; a fractional
+    reservation per always-resident actor deadlocks small clusters once a
+    few pipelines have run in one session (reservations outlive the
+    pipeline until the actors are released).
     """
     import ray
 

@@ -204,10 +204,6 @@ def run_with_checkpoint(
             for s in ray.get([s.stats.remote() for s in shards])
         ]
         _atomic_write_json(os.path.join(state_dir, "counters.json"), shard_counters)
-        # keep only the latest snapshot to bound checkpoint size
-        if i > 0:
-            prev = os.path.join(ckpt_dir, "shards", f"wave-{i - 1}")
-            shutil.rmtree(prev, ignore_errors=True)
 
         os.replace(tmp_out, wave_out)
         manifest["waves"][str(i)] = {
@@ -225,6 +221,13 @@ def run_with_checkpoint(
             },
         }
         _atomic_write_json(os.path.join(ckpt_dir, "manifest.json"), manifest)
+        # keep only the latest snapshot to bound checkpoint size — deleted
+        # only AFTER the manifest durably records this wave as done, so a
+        # crash anywhere in this wave still finds the previous wave's
+        # snapshot on resume
+        if i > 0:
+            prev = os.path.join(ckpt_dir, "shards", f"wave-{i - 1}")
+            shutil.rmtree(prev, ignore_errors=True)
 
     # final metrics: sum counters, merge every sketch across waves (wave
     # order is arbitrary — merges are associative by construction)
@@ -268,4 +271,8 @@ def run_with_checkpoint(
             estimates[n] = float(merged.estimate())
     manifest["sketch_estimates"] = estimates
     _atomic_write_json(os.path.join(ckpt_dir, "manifest.json"), manifest)
+    # shard state is durably snapshot; release the actors (their filters
+    # can be large) so repeated jobs in one session don't accumulate them
+    for s_ in shards:
+        ray.kill(s_)
     return manifest
