@@ -505,6 +505,49 @@ def q_media_features(sf_dir: str):
     return out.select_columns(["media_id", "n_bytes", "width", "height", "channels"])
 
 
+def q_media_ppm_stats(sf_dir: str):
+    """REAL image decode: deterministic PPM payloads → true dimensions +
+    luminance-histogram features through the actor-pool decode stage, then a
+    real nearest-neighbor resize transcode. No SQL oracle (DuckDB can't
+    decode PPM); decode correctness is unit-tested round-trip."""
+    import ray.data as rd
+
+    from ..stages.multimodal import (
+        MediaResizeStage,
+        decode_media,
+        make_ppm_media_table,
+    )
+
+    ds = rd.from_arrow(make_ppm_media_table(64, seed=13))
+    resized = ds.map_batches(
+        MediaResizeStage,
+        fn_constructor_kwargs={"decoder": "ppm", "max_side": 32},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=16,
+        concurrency=(1, 2),
+    )
+    out = decode_media(resized, decoder="ppm", batch_size=16)
+    return out.select_columns(["media_id", "width", "height", "channels", "n_bytes"])
+
+
+def q_media_wav_stats(sf_dir: str):
+    """REAL audio decode: deterministic PCM WAV payloads → sample counts +
+    spectral-band features (stdlib wave + numpy rfft). No SQL oracle."""
+    import ray.data as rd
+
+    from ..stages.multimodal import decode_media, make_wav_media_table
+
+    ds = rd.from_arrow(make_wav_media_table(64, seed=13))
+    out = decode_media(ds, decoder="wav", batch_size=16)
+    df = out.select_columns(
+        ["media_id", "width", "height", "channels"]
+    ).to_pandas()
+    return df.rename(
+        columns={"width": "sample_rate", "height": "n_samples"}
+    )
+
+
 def q_transcripts_sorted(sf_dir: str):
     """ORDER-VERIFIED query: sort the transcripts by (conv_id, turn_idx) in
     Ray, then stamp each row with its PHYSICAL position in the sorted
@@ -1052,6 +1095,8 @@ QUERIES = {
     "embedding_knn": q_embedding_knn,
     "embedding_near_dup": q_embedding_near_dup,
     "media_features": q_media_features,
+    "media_ppm_stats": q_media_ppm_stats,
+    "media_wav_stats": q_media_wav_stats,
     "q1_lineitem": q_q1_lineitem,
     "events_windowed": q_events_windowed,
     "customer_by_region": q_customer_by_region,

@@ -1,16 +1,22 @@
-"""Multimodal (image/audio/video) stages — real Ray plumbing, stubbed codecs.
+"""Multimodal (image/audio/video) stages — real Ray plumbing; real codecs
+for formats decodable with numpy + the stdlib, stubs for the rest.
 
 Media travels as opaque ``binary`` columns with typed metadata (media_type,
 byte length). The decode / feature-extract / resize / frame-sample operators
 are actor-pool ``map_batches`` stages with real schemas, batch sizing and
-output layout; the codec itself is stubbed because no image/audio library
-ships in this container:
+output layout. Decoder tiers:
 
-- ``decoder="stub"`` raises NotImplementedError at the exact call site a
-  real decoder (PIL / torchaudio / pyav) would plug into;
-- ``decoder="fake"`` produces *deterministic* pseudo-features from the raw
-  bytes (dimensions from a seeded hash, a 16-bin byte histogram) so the
-  plumbing — including downstream groupbys and writes — is fully testable.
+- ``decoder="ppm"`` — REAL image decode: binary PPM/PGM (P6/P5) parsed with
+  numpy; emits true (width, height, channels) and a 16-bin luminance
+  histogram feature. Resize is a real nearest-neighbor transcode.
+- ``decoder="wav"`` — REAL audio decode: PCM WAV via the stdlib ``wave``
+  module + numpy; emits sample_rate/n_samples/duration and a 16-bin
+  spectral-energy feature (rfft band energies).
+- ``decoder="fake"`` — deterministic pseudo-features from the raw bytes
+  (plumbing tests for arbitrary payloads).
+- ``decoder="stub"`` — raises NotImplementedError at the exact call site a
+  compressed-format decoder (PIL/pyav for JPEG/video) would plug into; those
+  libraries don't ship in this container.
 
 Batch sizing note (SURVEY.md §7.3 "very wide values"): media rows are large,
 so these stages default to small ``batch_size`` and callers should lower
@@ -18,6 +24,9 @@ so these stages default to small ``batch_size`` and callers should lower
 """
 
 from __future__ import annotations
+
+import io
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -48,6 +57,157 @@ def make_fake_media_table(n: int = 64, *, seed: int = 5, kind: str = "image") ->
     )
 
 
+# ---------------------------------------------------------------------------
+# real codecs (numpy / stdlib only)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w) uint8 → P5 (grayscale) or (h, w, 3) uint8 → P6 (RGB)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        magic = b"P5"
+        h, w = img.shape
+    elif img.ndim == 3 and img.shape[2] == 3:
+        magic = b"P6"
+        h, w = img.shape[:2]
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) → uint8 array (h, w[, 3]). Real parser:
+    whitespace/comment-tolerant header + one frombuffer for the pixels."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError(f"not a binary PPM/PGM payload: {payload[:2]!r}")
+    channels = 3 if payload[:2] == b"P6" else 1
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n = w * h * channels
+    img = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
+    return img.reshape((h, w, 3) if channels == 3 else (h, w))
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono/stereo samples → PCM WAV bytes (stdlib wave writer)."""
+    samples = np.asarray(samples, dtype=np.int16)
+    n_channels = 1 if samples.ndim == 1 else samples.shape[1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(n_channels)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes → (float64 samples in [-1, 1] shaped (n,) or (n, ch),
+    sample_rate). Real decode via the stdlib wave reader."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        sr = wf.getframerate()
+        ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width != 2:
+        raise ValueError(f"only 16-bit PCM supported, got {8 * width}-bit")
+    x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+    if ch > 1:
+        x = x.reshape(-1, ch)
+    return x, sr
+
+
+def image_features(img: np.ndarray, bins: int = 16) -> np.ndarray:
+    """Normalized luminance histogram (bins,) — the decoded-image feature."""
+    if img.ndim == 3:
+        lum = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    else:
+        lum = img.astype(np.float64)
+    hist = np.bincount(
+        np.clip(lum / 256.0 * bins, 0, bins - 1).astype(np.int64).ravel(),
+        minlength=bins,
+    ).astype(np.float64)
+    return hist / max(1, lum.size)
+
+
+def audio_features(x: np.ndarray, bins: int = 16) -> np.ndarray:
+    """Normalized rfft band energies (bins,) — the decoded-audio feature."""
+    mono = x.mean(axis=1) if x.ndim == 2 else x
+    spec = np.abs(np.fft.rfft(mono)) ** 2
+    if len(spec) < bins:
+        spec = np.pad(spec, (0, bins - len(spec)))
+    bands = np.array_split(spec, bins)
+    e = np.array([b.sum() for b in bands])
+    total = e.sum()
+    return e / total if total > 0 else e
+
+
+def nn_resize(img: np.ndarray, max_side: int) -> np.ndarray:
+    """Real nearest-neighbor resize (aspect-preserving, numpy indexing)."""
+    h, w = img.shape[:2]
+    scale = min(1.0, max_side / max(h, w))
+    nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+    yi = np.clip((np.arange(nh) / scale).astype(np.int64), 0, h - 1)
+    xi = np.clip((np.arange(nw) / scale).astype(np.int64), 0, w - 1)
+    return img[yi][:, xi]
+
+
+def make_ppm_media_table(n: int = 32, *, seed: int = 9) -> pa.Table:
+    """Deterministic REAL PPM payloads (seeded gradients + noise)."""
+    rng = np.random.default_rng(seed)
+    payloads = []
+    for i in range(n):
+        h, w = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+        base = np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
+        img = (base + rng.integers(0, 64, (h, w, 3))).clip(0, 255).astype(np.uint8)
+        payloads.append(encode_ppm(img))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
+def make_wav_media_table(n: int = 32, *, seed: int = 9, sample_rate: int = 8000) -> pa.Table:
+    """Deterministic REAL WAV payloads (seeded sine mixtures + noise)."""
+    rng = np.random.default_rng(seed)
+    payloads = []
+    for i in range(n):
+        dur = int(rng.integers(200, 2000))  # samples
+        t = np.arange(dur) / sample_rate
+        f = float(rng.uniform(100, 2000))
+        x = 0.5 * np.sin(2 * np.pi * f * t) + 0.05 * rng.standard_normal(dur)
+        payloads.append(
+            encode_wav((x * 32767).clip(-32768, 32767).astype(np.int16), sample_rate)
+        )
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "media_type": pa.array(["audio"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
 class MediaDecodeStage:
     """Actor-pool decode + feature extraction.
 
@@ -55,36 +215,65 @@ class MediaDecodeStage:
     (audio), plus a 16-dim byte-histogram feature vector (list<float>).
     """
 
+    DECODERS = ("stub", "fake", "ppm", "wav")
+
     def __init__(self, *, decoder: str = "stub"):
-        if decoder not in ("stub", "fake"):
+        if decoder not in self.DECODERS:
             raise ValueError(f"unknown decoder: {decoder}")
         self.decoder = decoder
         # a real implementation would load the codec/model here, once per actor
 
     def _decode_real(self, payloads):  # pragma: no cover - by design
         raise NotImplementedError(
-            "no image/audio codec in this environment; plug PIL/pyav here "
-            "or use decoder='fake' for deterministic plumbing tests"
+            "no compressed-format codec (JPEG/video) in this environment; "
+            "plug PIL/pyav here, or use decoder='ppm'/'wav' for the real "
+            "numpy codecs, decoder='fake' for plumbing tests"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
+        n = len(payloads)
         if self.decoder == "stub":
             self._decode_real(payloads)
-        # fake decode: deterministic dims from a hash of the payload bytes,
-        # 16-bin byte histogram as the "feature"
-        h = hash64_batch([p.hex() for p in payloads], seed=3)
-        width = (h % np.uint64(1920)).astype(np.int32) + 1
-        height = ((h >> np.uint64(16)) % np.uint64(1080)).astype(np.int32) + 1
-        feats = []
-        for p in payloads:
-            arr = np.frombuffer(p, dtype=np.uint8)
-            hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
-            feats.append(hist / max(1, len(arr)))
+        if self.decoder == "ppm":
+            width = np.empty(n, np.int32)
+            height = np.empty(n, np.int32)
+            channels = np.empty(n, np.int32)
+            feats = []
+            for i, p in enumerate(payloads):
+                img = decode_ppm(p)
+                height[i], width[i] = img.shape[:2]
+                channels[i] = img.shape[2] if img.ndim == 3 else 1
+                feats.append(image_features(img))
+        elif self.decoder == "wav":
+            # audio: width=sample_rate, height=n_samples, channels=channels
+            # (the schema's typed-metadata triplet, documented)
+            width = np.empty(n, np.int32)
+            height = np.empty(n, np.int32)
+            channels = np.empty(n, np.int32)
+            feats = []
+            for i, p in enumerate(payloads):
+                x, sr = decode_wav(p)
+                width[i] = sr
+                height[i] = len(x)
+                channels[i] = x.shape[1] if x.ndim == 2 else 1
+                feats.append(audio_features(x))
+        else:
+            # fake decode: deterministic dims from a hash of the payload
+            # bytes, 16-bin byte histogram as the "feature"
+            h = hash64_batch([p.hex() for p in payloads], seed=3)
+            width = (h % np.uint64(1920)).astype(np.int32) + 1
+            height = ((h >> np.uint64(16)) % np.uint64(1080)).astype(np.int32) + 1
+            channels = np.full(n, 3, np.int32)
+            feats = []
+            for p in payloads:
+                arr = np.frombuffer(p, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=16).astype(np.float64)
+                feats.append(hist / max(1, len(arr)))
         return (
             batch.append_column("width", pa.array(width, pa.int32()))
             .append_column("height", pa.array(height, pa.int32()))
-            .append_column("channels", pa.array(np.full(len(payloads), 3), pa.int32()))
+            .append_column("channels", pa.array(channels, pa.int32()))
             .append_column(
                 "features", pa.array(feats, pa.list_(pa.float64(), 16))
             )
@@ -92,23 +281,43 @@ class MediaDecodeStage:
 
 
 class MediaResizeStage:
-    """Resize stub: recomputes target dims (aspect-preserving), passes payload
-    through. A real stage would transcode the payload."""
+    """Resize stage. ``decoder='ppm'`` is a REAL transcode: decode → nearest-
+    neighbor resize → re-encode PPM payload. ``decoder='fake'`` recomputes
+    target dims only (plumbing); ``'stub'`` raises at the plug-in point."""
 
     def __init__(self, *, max_side: int = 256, decoder: str = "stub"):
+        if decoder not in ("stub", "fake", "ppm"):
+            raise ValueError(f"unknown decoder: {decoder}")
         self.max_side = max_side
         self.decoder = decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .text import set_column
+
         if self.decoder == "stub":
             raise NotImplementedError(
-                "no codec in this environment; use decoder='fake'"
+                "no compressed-format codec in this environment; use "
+                "decoder='ppm' (real transcode) or 'fake' (dims only)"
             )
+        if self.decoder == "ppm":
+            payloads = batch["payload"].to_pylist()
+            new_payloads, ws, hs = [], [], []
+            for p in payloads:
+                img = nn_resize(decode_ppm(p), self.max_side)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                new_payloads.append(encode_ppm(img))
+            batch = set_column(batch, "payload", pa.array(new_payloads, pa.binary()))
+            batch = set_column(
+                batch, "n_bytes", pa.array([len(p) for p in new_payloads], pa.int64())
+            )
+            if "width" in batch.column_names:
+                batch = set_column(batch, "width", pa.array(ws, pa.int32()))
+                batch = set_column(batch, "height", pa.array(hs, pa.int32()))
+            return batch
         w = np.asarray(batch["width"].combine_chunks(), dtype=np.float64)
         h = np.asarray(batch["height"].combine_chunks(), dtype=np.float64)
         scale = np.minimum(1.0, self.max_side / np.maximum(w, h))
-        from .text import set_column
-
         batch = set_column(
             batch, "width", pa.array((w * scale).astype(np.int32), pa.int32())
         )

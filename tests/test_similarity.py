@@ -254,3 +254,87 @@ def test_embedding_lsh_near_dup_recall(ray_session, embeddings):
     # precision is exact by construction: every emitted pair was verified
     assert got <= truth | got  # emitted cosines are >= threshold
     assert (pairs["cosine"] >= 0.99).all()
+
+
+# --- real multimodal codecs (numpy / stdlib only) ---
+
+
+def test_ppm_roundtrip_and_decode_stage(ray_session):
+    from streammd_ray.stages.multimodal import (
+        decode_media,
+        decode_ppm,
+        encode_ppm,
+        make_ppm_media_table,
+    )
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    gray = rng.integers(0, 256, (9, 11), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(gray)), gray)
+    # comment-tolerant header
+    p = b"P5\n# a comment\n3 2\n255\n" + bytes(6)
+    assert decode_ppm(p).shape == (2, 3)
+
+    t = make_ppm_media_table(16, seed=4)
+    out = decode_media(rd.from_arrow(t), decoder="ppm", batch_size=8).to_pandas()
+    # stage dims must equal the true decoded dims
+    for _, row in out.iterrows():
+        img = decode_ppm(t["payload"][row["media_id"]].as_py())
+        assert (row["height"], row["width"]) == img.shape[:2]
+        assert row["channels"] == 3
+    feats = np.stack(out["features"])
+    assert np.allclose(feats.sum(axis=1), 1.0, atol=1e-9)
+
+
+def test_ppm_real_resize_transcode(ray_session):
+    from streammd_ray.stages.multimodal import (
+        MediaResizeStage,
+        decode_ppm,
+        make_ppm_media_table,
+    )
+
+    t = make_ppm_media_table(12, seed=6)
+    resized = (
+        rd.from_arrow(t)
+        .map_batches(
+            MediaResizeStage,
+            fn_constructor_kwargs={"decoder": "ppm", "max_side": 16},
+            batch_format="pyarrow",
+            batch_size=4,
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+    )
+    for _, row in resized.iterrows():
+        img = decode_ppm(row["payload"])
+        assert max(img.shape[:2]) <= 16
+        # aspect preserved within rounding
+        orig = decode_ppm(t["payload"][row["media_id"]].as_py())
+        assert abs(
+            img.shape[0] / img.shape[1] - orig.shape[0] / orig.shape[1]
+        ) < 0.35
+
+
+def test_wav_roundtrip_and_decode_stage(ray_session):
+    from streammd_ray.stages.multimodal import (
+        decode_media,
+        decode_wav,
+        encode_wav,
+        make_wav_media_table,
+    )
+
+    rng = np.random.default_rng(8)
+    x = (rng.uniform(-0.5, 0.5, 1000) * 32767).astype(np.int16)
+    dec, sr = decode_wav(encode_wav(x, 8000))
+    assert sr == 8000 and len(dec) == 1000
+    assert np.allclose(dec * 32768.0, x, atol=1.0)
+
+    t = make_wav_media_table(16, seed=4, sample_rate=8000)
+    out = decode_media(rd.from_arrow(t), decoder="wav", batch_size=8).to_pandas()
+    assert (out["width"] == 8000).all()  # sample_rate in the width slot
+    assert (out["height"] > 0).all()
+    feats = np.stack(out["features"])
+    assert np.allclose(feats.sum(axis=1), 1.0, atol=1e-9)
+    # a pure-ish sine concentrates energy in few bands
+    assert (feats.max(axis=1) > 0.3).all()
