@@ -811,6 +811,247 @@ def sql_top_orders() -> str:
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
 
 
+def q_q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) with
+    selective filters pushed to each read, grouped revenue, top-10 — the
+    multi-join + sort/top-k coverage row. Joins are hash-partitioned
+    Dataset.join; filters run inside the fused read tasks."""
+    from ray.data.aggregate import Sum
+
+    cutoff = pd.Timestamp("1997-06-30")
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).drop_columns(
+            ["c_mktsegment"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j1 = orders.join(cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
+    j2 = li.join(j1, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def disc_price(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "rev": rev,
+            }
+        )
+
+    out = (
+        j2.map_batches(disc_price, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .map_batches(
+            lambda t: t.set_column(
+                t.schema.get_field_index("revenue"),
+                "revenue",
+                pc.round(t["revenue"], 2),
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort(["revenue", "l_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+    return out
+
+
+def sql_q3_shipping_priority() -> str:
+    return """SELECT l_orderkey, o_orderdate, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-30'
+  AND l.l_shipdate  > TIMESTAMP '1997-06-30'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5 shape without the supplier leg: customer ⋈ orders ⋈ lineitem
+    with the tiny nation dimension broadcast (ray.put) onto the fact stream —
+    two hash joins + one broadcast join + grouped aggregate."""
+    import ray
+    import pyarrow.parquet as pq_
+    from ray.data.aggregate import Sum
+
+    nation = pq_.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    lookup = np.empty(int(pc.max(nation["n_nationkey"]).as_py()) + 1, dtype=object)
+    lookup[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy(
+        zero_copy_only=False
+    )
+    ref = ray.put(lookup)
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    j1 = orders.join(
+        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    j2 = li.join(
+        j1, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    class Attach:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t["c_nationkey"].to_numpy(zero_copy_only=False)
+            rev = pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+            return pa.table(
+                {
+                    "n_name": pa.array(self.lookup[keys], pa.string()),
+                    "rev": rev,
+                }
+            )
+
+    out = (
+        j2.map_batches(
+            Attach,
+            fn_constructor_kwargs={"ref": ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 4),
+        )
+        .groupby("n_name")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    df = out.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
+def sql_revenue_by_nation() -> str:
+    return """SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY n.n_name"""
+
+
+def q_salted_turn_stats(sf_dir: str):
+    """The skew-safe two-level aggregation (stages/skew.py salted_groupby)
+    exposed as a first-class oracle query: per-conversation turn counts and
+    total text length, computed via salt-split partial aggregation so the
+    zipf-head conversation never lands on one reducer."""
+    from ..stages.skew import salted_groupby
+
+    ds = transcripts_ds(sf_dir, columns=["conv_id", "text"])
+    ds = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "len": pc.cast(
+                    pc.fill_null(pc.utf8_length(t["text"]), 0), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return salted_groupby(
+        ds,
+        "conv_id",
+        {"n_turns": ("count", None), "total_len": ("sum", "len")},
+        salt_buckets=8,
+    )
+
+
+def sql_salted_turn_stats() -> str:
+    return f"""{T_CTE}
+SELECT conv_id, count(*) AS n_turns,
+  CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_len
+FROM transcripts GROUP BY conv_id"""
+
+
+def q_events_hopping_window(sf_dir: str):
+    """Hopping-window aggregate (60-min windows, 30-min hop): every event
+    belongs to exactly 2 windows; windows are derived per batch with integer
+    arithmetic and aggregated with one grouped pass — the sliding-window
+    coverage row beside the tumbling events_windowed."""
+    from ray.data.aggregate import Count, Sum
+
+    HOP_US = 1_800_000_000  # 30 min
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = np.asarray(
+            t["ts"].combine_chunks().cast(pa.int64()), dtype=np.int64
+        )
+        base = us // HOP_US
+        parts = []
+        for k in (0, 1):
+            ws = (base - k) * HOP_US
+            parts.append(
+                pa.table(
+                    {
+                        "window_start": pa.array(ws, pa.int64()).cast(
+                            pa.timestamp("us")
+                        ),
+                        "event_type": t["event_type"],
+                        "value": t["value"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total_value"))
+    )
+    df = out.to_pandas()
+    df["total_value"] = df["total_value"].round(4)
+    return df
+
+
+def sql_events_hopping_window() -> str:
+    return """SELECT event_type,
+  make_timestamp((CAST(floor(epoch_us(ts) / 1800000000) AS BIGINT) - k.k) * 1800000000)
+    AS window_start,
+  count(*) AS n, round(sum(value), 4) AS total_value
+FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+GROUP BY 1, 2"""
+
+
 def q_sessionize_events(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization (the streaming-shaped op): events are an
     ordered per-user log; a >gap silence starts a new session. Shuffle on
@@ -1098,6 +1339,10 @@ QUERIES = {
     "media_ppm_stats": q_media_ppm_stats,
     "media_wav_stats": q_media_wav_stats,
     "q1_lineitem": q_q1_lineitem,
+    "q3_shipping_priority": q_q3_shipping_priority,
+    "revenue_by_nation": q_revenue_by_nation,
+    "salted_turn_stats": q_salted_turn_stats,
+    "events_hopping_window": q_events_hopping_window,
     "events_windowed": q_events_windowed,
     "customer_by_region": q_customer_by_region,
     "orders_per_segment": q_orders_per_segment,
@@ -1132,6 +1377,10 @@ ORACLES = {
     "embedding_knn": sql_embedding_knn(),
     "embedding_near_dup": sql_embedding_near_dup(),
     "q1_lineitem": sql_q1_lineitem(),
+    "q3_shipping_priority": sql_q3_shipping_priority(),
+    "revenue_by_nation": sql_revenue_by_nation(),
+    "salted_turn_stats": sql_salted_turn_stats(),
+    "events_hopping_window": sql_events_hopping_window(),
     "events_windowed": sql_events_windowed(),
     "customer_by_region": sql_customer_by_region(),
     "orders_per_segment": sql_orders_per_segment(),
