@@ -81,10 +81,12 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
-def _num_blocks(ncpu: int, n_files: int) -> int:
-    # fused read tasks want ~4 waves per level; at high core counts smaller
-    # blocks over-fragment the shard RPCs, so cap block count at 128 there
-    return min(n_files, 128 if ncpu >= 32 else 256)
+def _num_blocks(ncpu: int, n_files: int, n_turns: int) -> int:
+    # keep fused read+mark blocks near 500K rows: bigger blocks (≥1M rows of
+    # text) cause allocator/GC churn in the task heap (measured 2x slowdown
+    # at 128M turns), smaller ones over-fragment the shard RPCs; also give
+    # every level at least 2 waves of tasks
+    return min(n_files, max(2 * ncpu, n_turns // 500_000))
 
 
 def headline(
@@ -212,7 +214,8 @@ def single_run(include_queries: bool = True) -> dict:
         # the timed pass measures the data plane, not process startup.
         from streammd_ray.stages.dedup import make_shard_actors
 
-        nb = _num_blocks(NUM_CPUS, n_files)
+        n_turns = SCALING_TURNS if scaling_child else BENCH_TURNS
+        nb = _num_blocks(NUM_CPUS, n_files, n_turns)
         reps = int(os.environ.get("BENCH_REPS", "2"))
         times, summary = [], None
         for _ in range(reps):

@@ -109,3 +109,62 @@ def test_cli_show_capacity_math():
     assert info["bits_per_shard_pow2"] == 2**30  # 8 shards x 2^30 bits = 2^33 = 8*mem
     assert info["capacity_total"] == 8 * info["capacity_per_shard"]
     assert info["k"] == 10
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e12, max_value=1e12, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=400,
+    ),
+    q=st.floats(min_value=0.01, max_value=0.99),
+)
+@settings(max_examples=25, deadline=None)
+def test_exact_quantile_select_property(ray_session, vals, q):
+    """Distributed selection == the quantile_disc rank rule on ANY input."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from streammd_ray.stages.quantiles import exact_quantile_select
+
+    v = np.array(vals)
+    ds = rd.from_arrow(pa.table({"x": v})).repartition(3)
+    got = exact_quantile_select(ds, "x", (q,), n_buckets=64)[0]
+    s = np.sort(v)
+    want = float(s[max(0, math.ceil(q * len(s)) - 1)])
+    assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=2000),
+    rate=st.floats(min_value=0.0, max_value=1.0),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_sampling_partition_invariance_property(ray_session, n, rate, seed):
+    """The sampled row SET is a pure function of (keys, rate, seed) — never
+    of the physical partition layout."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from streammd_ray.stages.sampling import sample_uniform
+
+    t = pa.table({"doc_id": np.arange(n, dtype=np.int64)})
+    a = sample_uniform(
+        rd.from_arrow(t), rate=rate, key_col="doc_id", seed=seed
+    ).to_pandas()
+    b = sample_uniform(
+        rd.from_arrow(t).repartition(4), rate=rate, key_col="doc_id", seed=seed
+    ).to_pandas()
+    # Ray drops the schema through to_pandas on a fully-empty result
+    ka = sorted(a["doc_id"]) if len(a) else []
+    kb = sorted(b["doc_id"]) if len(b) else []
+    assert ka == kb
+    if rate == 0.0:
+        assert len(a) == 0
+    if rate == 1.0:
+        assert len(a) == n
