@@ -1052,6 +1052,72 @@ FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
 GROUP BY 1, 2"""
 
 
+def q_events_props_extract(sf_dir: str):
+    """JSON field extraction over the events.props column (vectorized via
+    polars json_path_match inside map_batches — no per-row Python JSON
+    parsing), aggregated per event_type. The string-scalar-function coverage
+    row for semi-structured payloads."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def extract(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        s = pl.from_arrow(t["props"].combine_chunks())
+        k = s.str.json_path_match("$.k").cast(pl.Int64, strict=False)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "k": k.to_arrow(),
+            }
+        )
+
+    out = (
+        ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("k", alias_name="total_k"), Count(alias_name="n"))
+    )
+    return out
+
+
+def sql_events_props_extract() -> str:
+    return """SELECT event_type,
+  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+  count(*) AS n
+FROM events GROUP BY event_type"""
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join coverage: customers that never placed an URGENT order, via
+    Ray Data's native hash-partitioned left_anti join (filter pushed into
+    the right side's fused read)."""
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    urgent = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT")
+        ).drop_columns(["o_orderpriority"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return cust.join(
+        urgent, "left_anti", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+    )
+
+
+def sql_customers_without_orders() -> str:
+    return """SELECT c_custkey, c_mktsegment FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')"""
+
+
 def q_sessionize_events(sf_dir: str, gap_minutes: int = 30):
     """Gap-based sessionization (the streaming-shaped op): events are an
     ordered per-user log; a >gap silence starts a new session. Shuffle on
@@ -1343,6 +1409,8 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "salted_turn_stats": q_salted_turn_stats,
     "events_hopping_window": q_events_hopping_window,
+    "events_props_extract": q_events_props_extract,
+    "customers_without_orders": q_customers_without_orders,
     "events_windowed": q_events_windowed,
     "customer_by_region": q_customer_by_region,
     "orders_per_segment": q_orders_per_segment,
@@ -1381,6 +1449,8 @@ ORACLES = {
     "revenue_by_nation": sql_revenue_by_nation(),
     "salted_turn_stats": sql_salted_turn_stats(),
     "events_hopping_window": sql_events_hopping_window(),
+    "events_props_extract": sql_events_props_extract(),
+    "customers_without_orders": sql_customers_without_orders(),
     "events_windowed": sql_events_windowed(),
     "customer_by_region": sql_customer_by_region(),
     "orders_per_segment": sql_orders_per_segment(),
