@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..hashing import MASK64, hash64_batch
 
@@ -72,6 +73,37 @@ def _fixed_binary_matrix(col, num_perm: int) -> np.ndarray:
         offset=arr.offset * width,
     )
     return flat.reshape(len(arr), num_perm)
+
+
+def _multi_member_buckets(ds, keys, *, num_partitions: int = 8):
+    """Drop singleton buckets BEFORE the per-group verification pass.
+
+    ``groupby(...).map_groups`` pays a pandas call per GROUP, and in LSH
+    candidate generation the overwhelming majority of buckets hold exactly
+    one row (no pair can come out of them). One vectorized Count aggregate +
+    a native left_semi join keeps only rows whose bucket has >= 2 members —
+    at web scale this removes billions of no-op group invocations."""
+    from ray.data.aggregate import Count
+
+    schema = ds.schema()
+    key_types = dict(zip(schema.names, schema.types))
+
+    def keep_multi(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["__bucket_n"], 1)).drop_columns(["__bucket_n"])
+        # Ray's hash aggregate promotes narrow int keys to int64; cast back
+        # so the semi-join key types match the source table
+        for k in keys:
+            i = t.schema.get_field_index(k)
+            if not t.schema.field(i).type.equals(key_types[k]):
+                t = t.set_column(i, k, t[k].cast(key_types[k]))
+        return t
+
+    multi = (
+        ds.groupby(list(keys))
+        .aggregate(Count(alias_name="__bucket_n"))
+        .map_batches(keep_multi, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return ds.join(multi, "left_semi", num_partitions=num_partitions, on=tuple(keys))
 
 
 class MinHasher:
@@ -245,7 +277,9 @@ def minhash_lsh_pairs(
         return pa.table(
             {
                 "band": pa.array(band_ids, pa.int32()),
-                "bucket": pa.array(hashes, pa.uint64()),
+                # int64 BIT PATTERN: uint64 group keys break Ray's hash
+                # aggregates (silent pickle fallback + overflow)
+                "bucket": pa.array(hashes.view(np.int64), pa.int64()),
                 id_col: pa.array(doc_ids),
             }
         )
@@ -263,8 +297,10 @@ def minhash_lsh_pairs(
         iu = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
 
-    cand = exploded.groupby(["band", "bucket"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    cand = (
+        _multi_member_buckets(exploded, ("band", "bucket"))
+        .groupby(["band", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pandas")
     ).map_batches(
         lambda t: t, batch_format="pyarrow", zero_copy_batch=True
     )  # pandas→arrow: Ray's hash aggregate is ~20x slower on pandas blocks
@@ -399,9 +435,12 @@ def simhash_pairs(
         return pa.table(
             {
                 "chunk": pa.array(chunk_id),
-                "val": pa.array(vals, pa.uint64()),
+                # int64 bit patterns: uint64 keys break hash aggregates
+                "val": pa.array(vals.view(np.int64), pa.int64()),
                 id_col: pa.array(np.tile(ids, CHUNKS)),
-                "simhash": pa.array(np.tile(fp, CHUNKS), pa.uint64()),
+                "simhash": pa.array(
+                    np.tile(fp, CHUNKS).view(np.int64), pa.int64()
+                ),
             }
         )
 
@@ -412,7 +451,7 @@ def simhash_pairs(
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
         g = g.sort_values(id_col).head(MAX_BUCKET)
         ids = g[id_col].to_numpy()
-        fp = g["simhash"].to_numpy().astype(np.uint64)
+        fp = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
         n = len(ids)
         x = fp[:, None] ^ fp[None, :]
         # popcount via unpackbits on the byte view
@@ -432,6 +471,9 @@ def simhash_pairs(
         ds.map_batches(Stage, batch_format="pyarrow", concurrency=concurrency)
         .select_columns([id_col, "simhash"])
         .map_batches(explode, batch_format="pyarrow")
+    )
+    pairs = (
+        _multi_member_buckets(pairs, ("chunk", "val"))
         .groupby(["chunk", "val"])
         .map_groups(bucket_pairs, batch_format="pandas")
     ).map_batches(
@@ -701,15 +743,19 @@ def embedding_lsh_near_dup_pairs(
                 buckets[b * n : (b + 1) * n] = (
                     signs.astype(np.uint64) * bits[None, :]
                 ).sum(axis=1)
-            flat = np.tile(emb, (n_bands, 1))
+            flat = np.ascontiguousarray(np.tile(emb, (n_bands, 1)))
+            # vector rides as fixed-size BINARY: acero hash joins (used by
+            # the singleton-bucket semi-join) reject list-typed payloads
+            nv = pa.Array.from_buffers(
+                pa.binary(dim * 8), len(flat), [None, pa.py_buffer(flat.tobytes())]
+            )
             return pa.table(
                 {
                     "band": pa.array(out_band),
-                    "bucket": pa.array(buckets, pa.uint64()),
+                    # int64 bit patterns: uint64 keys break hash aggregates
+                    "bucket": pa.array(buckets.view(np.int64), pa.int64()),
                     id_col: pa.array(out_ids),
-                    "__nv": pa.FixedSizeListArray.from_arrays(
-                        pa.array(flat.ravel(), pa.float64()), dim
-                    ),
+                    "__nv": nv,
                 }
             )
 
@@ -733,7 +779,7 @@ def embedding_lsh_near_dup_pairs(
             return empty
         g = g.sort_values(id_col).head(max_bucket)
         ids = g[id_col].to_numpy()
-        v = np.stack(g["__nv"].to_numpy())
+        v = np.frombuffer(b"".join(g["__nv"]), dtype=np.float64).reshape(len(g), -1)
         sims = v @ v.T
         ai, bj = np.nonzero(sims >= threshold)
         keep = ids[ai] < ids[bj]
@@ -747,8 +793,10 @@ def embedding_lsh_near_dup_pairs(
             }
         )
 
-    pairs = exploded.groupby(["band", "bucket"]).map_groups(
-        bucket_verify, batch_format="pandas"
+    pairs = (
+        _multi_member_buckets(exploded, ("band", "bucket"))
+        .groupby(["band", "bucket"])
+        .map_groups(bucket_verify, batch_format="pandas")
     ).map_batches(
         lambda t: t, batch_format="pyarrow", zero_copy_batch=True
     )  # pandas→arrow: Ray's hash aggregate is ~20x slower on pandas blocks
