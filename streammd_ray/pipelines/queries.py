@@ -296,15 +296,21 @@ def q_tdigest_turn_length_quantiles(sf_dir: str):
 
 
 def _latency_ds(sf_dir: str):
-    """Inter-turn latency (microseconds) per conversation."""
+    """Inter-turn latency (microseconds) per conversation — partition-
+    vectorized (one cython groupby-diff per hash partition, not a Python
+    call per conversation; stages/windows.py)."""
+    from ..stages.windows import partitioned_group_apply, per_key_diff_partition
+
     ds = transcripts_ds(sf_dir, columns=["conv_id", "turn_idx", "ts"])
-
-    def diffs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx", kind="stable")
-        dt = g["ts"].astype("int64").diff().iloc[1:]
-        return pd.DataFrame({"dt_us": dt.astype(np.int64)})
-
-    return ds.groupby("conv_id").map_groups(diffs, batch_format="pandas")
+    out = partitioned_group_apply(
+        ds, "conv_id", per_key_diff_partition(), num_partitions=32
+    )
+    # quantile selection scans its input several times (min/max, histogram,
+    # collect): pin the derived single-int64 column once instead of
+    # re-running the windowed derivation per pass. At extreme scale the
+    # derive-once layout writes this column to parquet (transcripts_ds
+    # pattern) rather than pinning.
+    return out.materialize()
 
 
 def q_latency_quantiles_exact(sf_dir: str):
@@ -1124,20 +1130,15 @@ def q_sessionize_events(sf_dir: str, gap_minutes: int = 30):
     user_id only; windowing is a per-group vectorized pandas pass."""
     import ray.data as rd
 
+    from ..stages.windows import partitioned_group_apply, sessionize_partition
+
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     gap_us = gap_minutes * 60 * 1_000_000
-
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        ts = g["ts"].astype("int64").to_numpy()
-        new = np.ones(len(g), dtype=np.int64)
-        new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
-        g["session_id"] = np.cumsum(new)
-        return g[["event_id", "user_id", "session_id"]]
-
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return partitioned_group_apply(
+        ds, "user_id", sessionize_partition(gap_us), num_partitions=32
+    )
 
 
 def sql_sessionize_events() -> str:
@@ -1157,15 +1158,12 @@ FROM (
 def q_conv_rolling_stats(sf_dir: str, window: int = 3):
     """Per-conversation rolling mean of turn length over the last 3 turns —
     the windowed-aggregate analog over the ordered transcript log."""
+    from ..stages.windows import partitioned_group_apply, rolling_mean_partition
+
     ds = transcripts_ds(sf_dir, columns=["conv_id", "turn_idx", "text"])
-
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx", kind="stable")
-        ln = g["text"].str.len().astype("float64")
-        g["rolling_mean_len"] = ln.rolling(window, min_periods=1).mean().round(4)
-        return g[["conv_id", "turn_idx", "rolling_mean_len"]]
-
-    return ds.groupby("conv_id").map_groups(roll, batch_format="pandas")
+    return partitioned_group_apply(
+        ds, "conv_id", rolling_mean_partition(window), num_partitions=32
+    )
 
 
 def sql_conv_rolling_stats() -> str:
@@ -1181,22 +1179,20 @@ def q_events_asof_signup(sf_dir: str):
     or before it (sorted per-user pass — merge_asof semantics)."""
     import ray.data as rd
 
+    from ..stages.windows import (
+        asof_carry_forward_partition,
+        partitioned_group_apply,
+    )
+
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"]
     )
-
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        ts64 = g["ts"].astype("int64").to_numpy()
-        # NaT is int64-min, so maximum.accumulate over the sentinel IS the
-        # carry-forward as-of semantics
-        sv = np.where(
-            g["event_type"].to_numpy() == "signup", ts64, np.iinfo(np.int64).min
-        )
-        g["last_signup_ts"] = np.maximum.accumulate(sv).view("datetime64[us]")
-        return g[["event_id", "user_id", "last_signup_ts"]]
-
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return partitioned_group_apply(
+        ds,
+        "user_id",
+        asof_carry_forward_partition("event_type", "signup"),
+        num_partitions=32,
+    )
 
 
 def sql_events_asof_signup() -> str:
