@@ -334,33 +334,45 @@ class ConversationValidationError(ValueError):
     qname group doesn't have exactly reads_per_template records)."""
 
 
-def validate_conversations(ds, *, max_report: int = 5):
+def validate_conversations(ds, *, max_report: int = 5, num_partitions: int = 32):
     """Enforce the input_hint ordering invariant: within each conv_id,
     turn_idx is 0-based, contiguous and unique, and ts is non-decreasing.
 
-    Shuffles only (conv_id, turn_idx, ts); raises
-    ConversationValidationError naming offending conversations. Returns the
-    input dataset unchanged on success (validation is a side pass)."""
+    Shuffles only (conv_id, turn_idx, ts) hash-partitioned by conv_id, and
+    checks every conversation of a partition with cython groupby kernels
+    (cumcount/diff) — one vectorized pass per partition, no per-conversation
+    Python. Raises ConversationValidationError naming offending
+    conversations; returns the input dataset unchanged on success."""
     import pandas as pd_
 
-    def check(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("turn_idx", kind="stable")
-        ti = g["turn_idx"].to_numpy()
-        bad = ""
-        if not (ti == np.arange(len(ti))).all():
-            bad = "turn_idx not contiguous/unique/0-based"
-        elif (np.diff(g["ts"].to_numpy().astype("int64")) < 0).any():
-            bad = "ts not monotone non-decreasing"
-        if bad:
-            return pd_.DataFrame({"conv_id": [g["conv_id"].iloc[0]], "why": [bad]})
-        return pd_.DataFrame({"conv_id": [], "why": []})
+    from .windows import partitioned_group_apply
 
-    offenders = (
-        ds.select_columns(["conv_id", "turn_idx", "ts"])
-        .groupby("conv_id")
-        .map_groups(check, batch_format="pandas")
-        .take(max_report)
-    )
+    def check_partition(df: pd_.DataFrame) -> pd_.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="stable")
+        conv = df["conv_id"]
+        pos = conv.groupby(conv.values, sort=False).cumcount().to_numpy()
+        bad_idx = df["turn_idx"].to_numpy() != pos
+        ts_diff = (
+            df["ts"].astype("int64").groupby(conv.values, sort=False).diff()
+        )
+        bad_ts = (ts_diff < 0).to_numpy()
+        out = []
+        if bad_idx.any():
+            for c in pd_.unique(conv.to_numpy()[bad_idx]):
+                out.append((c, "turn_idx not contiguous/unique/0-based"))
+        if bad_ts.any():
+            idx_bad = set(conv.to_numpy()[bad_idx])
+            for c in pd_.unique(conv.to_numpy()[bad_ts]):
+                if c not in idx_bad:
+                    out.append((c, "ts not monotone non-decreasing"))
+        return pd_.DataFrame(out, columns=["conv_id", "why"])
+
+    offenders = partitioned_group_apply(
+        ds.select_columns(["conv_id", "turn_idx", "ts"]),
+        "conv_id",
+        check_partition,
+        num_partitions=num_partitions,
+    ).take(max_report)
     if offenders:
         msg = "; ".join(f"{r['conv_id']}: {r['why']}" for r in offenders)
         raise ConversationValidationError(
