@@ -41,14 +41,49 @@ class SketchTail:
     """Per-batch tail stage: derive turn length, insert the batch into fresh
     sketch partials, emit one (sketch, state) row per sketch plus a counters
     row. Partials are small (compressed t-digest, modest CMS) and tree-merge
-    in O(log n_batches)."""
+    in O(log n_batches).
 
-    def __init__(self, specs_bytes: bytes, *, text_col: str = "text", mark_col: str = "is_duplicate"):
+    ``output_dir`` turns the tail into a streaming SINK as well: each block
+    is written to its own parquet part file (tmp + atomic rename, name
+    derived from the Ray task id so a task retry overwrites its own file
+    idempotently) BEFORE sketching — mark + sketch + persist in ONE pass
+    with no whole-table materialization, the 100-TB-shaped write path."""
+
+    def __init__(
+        self,
+        specs_bytes: bytes,
+        *,
+        text_col: str = "text",
+        mark_col: str = "is_duplicate",
+        output_dir: str | None = None,
+    ):
         self.protos = pickle.loads(specs_bytes)
         self.text_col = text_col
         self.mark_col = mark_col
+        self.output_dir = output_dir
+        self._ordinals: dict = {}
+
+    def _write_part(self, batch: pa.Table) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+        import ray
+
+        try:
+            tid = (ray.get_runtime_context().get_task_id() or "driver")[:16]
+        except Exception:
+            tid = "driver"
+        ordinal = self._ordinals.get(tid, 0)
+        self._ordinals[tid] = ordinal + 1
+        os.makedirs(self.output_dir, exist_ok=True)
+        path = os.path.join(self.output_dir, f"part-{tid}-{ordinal:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(batch, tmp)
+        os.replace(tmp, path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.output_dir is not None:
+            self._write_part(batch)
         lens = pc.cast(
             pc.fill_null(pc.utf8_length(batch[self.text_col]), 0), pa.float64()
         ).to_numpy(zero_copy_only=False)
@@ -120,9 +155,10 @@ def run_flagship(
     **mark_kwargs: Any,
 ) -> FlagshipResult:
     """One streaming pass: mark + sketches + counters (+ optional parquet
-    write of the marked table — done via the partials pass's sibling write so
-    the consume-once contract holds: when ``output_dir`` is set the marked
-    dataset is materialized once and both consumers read pinned blocks)."""
+    persistence of the marked table, done INSIDE the same pass: the tail
+    writes each block to its own part file before sketching — no
+    materialization of the marked table at any scale, and the consume-once
+    contract holds because there is still exactly one execution)."""
     res = mark_duplicates(
         ds,
         p=p,
@@ -130,7 +166,6 @@ def run_flagship(
         num_shards=num_shards,
         mark_concurrency=mark_concurrency,
         batch_size=batch_size,
-        materialize=output_dir is not None,
         **mark_kwargs,
     )
     sketch_specs = specs or default_sketch_specs()
@@ -139,7 +174,7 @@ def run_flagship(
     # preceding task-based 'finish' stage into one operator, so the marked
     # blocks never make an extra object-store hop through a separate actor
     # pool (measured ~20% of the fused pass at 32 CPUs)
-    tail = SketchTail(packed)
+    tail = SketchTail(packed, output_dir=output_dir)
     # batch_size=None → one partial per BLOCK: with 64 fat input blocks that
     # is 64 partials (~170 KB each) to tree-merge on the driver instead of
     # hundreds — the driver-side merge stays O(blocks), not O(rows/batch)
@@ -159,21 +194,19 @@ def run_flagship(
         "nulls": sum(c[2] for c in counts),
     }
     sketches = {n: tree_merge(sts) for n, sts in by_name.items()}
-    if output_dir is not None:
-        res.marked.write_parquet(output_dir)
-    else:
-        # the lazy marked plan was consumed exactly once by the partials
-        # pass above; seal the shard actors and replace the lazy handles
-        # with guards so any later consumption fails loudly instead of
-        # re-executing the marking pass against populated shards
-        import ray
+    # the lazy marked plan was consumed exactly once by the partials pass
+    # above (which also persisted the part files when output_dir was set);
+    # seal the shard actors and replace the lazy handles with guards so any
+    # later consumption fails loudly instead of re-executing the marking
+    # pass against populated shards
+    import ray
 
-        ray.get([s.seal.remote() for s in res.shards])
-        guard = _ConsumedDataset(
-            "run_flagship(output_dir=None) already consumed the marked "
-            "dataset; pass output_dir=... (materializes) if you need to "
-            "read the marked table afterwards"
-        )
-        res.dataset = guard
-        res.marked = guard
+    ray.get([s.seal.remote() for s in res.shards])
+    guard = _ConsumedDataset(
+        "run_flagship already consumed the marked dataset in its single "
+        "fused pass; read the written part files (output_dir=...) if you "
+        "need the marked table afterwards"
+    )
+    res.dataset = guard
+    res.marked = guard
     return FlagshipResult(counters=counters, sketches=sketches, mark=res)
