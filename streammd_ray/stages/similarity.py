@@ -1015,3 +1015,137 @@ def embedding_lsh_topk(
         g = g.assign(rank=np.arange(1, len(g) + 1))
         out.append(g)
     return pd.concat(out).reset_index(drop=True)[["query_id", id_col, "score", "rank"]]
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (rolling-hash) document fingerprints — Schleimer/Wilkerson/Aiken,
+# "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD 2003
+# ---------------------------------------------------------------------------
+
+_WINNOW_BASE = np.uint64(0x100000001B3)  # FNV prime (odd → invertible mod 2^64)
+_WINNOW_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _winnow_one(data: np.ndarray, k: int, w: int, bpow: np.ndarray, binvpow: np.ndarray) -> np.ndarray:
+    """Distinct window-minima of the k-gram polynomial rolling hashes of one
+    UTF-8 byte sequence. All numpy: the rolling hash is computed for EVERY
+    position in O(n) via the prefix-sum/odd-base-inverse trick (uint64
+    wraparound is the mod), window minima via a stride view."""
+    n = len(data)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if n < k:
+        h = (data.astype(np.uint64) * bpow[:n][::-1]).sum() * _WINNOW_MIX
+        return np.array([h], dtype=np.uint64)
+    # S_i = sum_{j<i} c_j * b^-j ; H_i = b^(i+k-1) * (S_{i+k} - S_i)
+    terms = data.astype(np.uint64) * binvpow[:n]
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(terms, out=s[1:])
+    H = (s[k:] - s[:-k]) * bpow[k - 1 : n]
+    H = H * _WINNOW_MIX ^ (H >> np.uint64(33))
+    if len(H) <= w:
+        return np.unique(H.min(keepdims=True))
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    return np.unique(sliding_window_view(H, w).min(axis=1))
+
+
+class Winnower:
+    """Per-batch winnowing fingerprints: normalize (whitespace-collapse,
+    lower) like the n-gram ops, then per-doc numpy rolling-hash winnowing.
+    Guarantee (the paper's): any shared substring of length >= k + w - 1
+    yields at least one shared fingerprint."""
+
+    def __init__(self, k: int = 8, w: int = 4, max_len: int = 1 << 20):
+        self.k, self.w = k, w
+        base = _WINNOW_BASE
+        binv = np.uint64(pow(int(base), -1, 1 << 64))
+        # power tables via wrapped cumprod (uint64 overflow IS the mod 2^64)
+        self.bpow = np.concatenate(
+            [[np.uint64(1)], np.cumprod(np.full(max_len - 1, base, np.uint64))]
+        )
+        self.binvpow = np.concatenate(
+            [[np.uint64(1)], np.cumprod(np.full(max_len - 1, binv, np.uint64))]
+        )
+
+    def doc_fingerprints(self, text: str | None) -> np.ndarray:
+        if not text:
+            return np.zeros(0, dtype=np.uint64)
+        t = " ".join(text.split()).lower()
+        data = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        if len(data) >= len(self.bpow):
+            data = data[: len(self.bpow)]
+        return _winnow_one(data, self.k, self.w, self.bpow, self.binvpow)
+
+
+def winnow_overlap_pairs(
+    ds,
+    *,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 256,
+):
+    """Document pairs sharing >= min_shared winnowing fingerprints — the
+    rolling-hash fingerprint analog of the MinHash pipeline: per-doc
+    fingerprints (map_batches) → explode (fingerprint, doc_id) → singleton
+    fingerprints dropped (semi-join) → pairs within each fingerprint group →
+    Count-aggregate = number of shared fingerprints → filter. Shuffles only
+    (int64 fingerprint, doc_id) rows."""
+    holder: dict = {}
+
+    def fps(batch: pa.Table) -> pa.Table:
+        wn = holder.get("w")
+        if wn is None:
+            wn = holder["w"] = Winnower(k, w)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_ids, out_fps = [], []
+        for i, t in enumerate(batch[col].to_pylist()):
+            f = wn.doc_fingerprints(t)
+            if len(f):
+                out_ids.append(np.full(len(f), ids[i], dtype=np.int64))
+                out_fps.append(f)
+        if not out_ids:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "fp": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_ids), pa.int64()),
+                # int64 bit patterns (uint64 keys break hash aggregates)
+                "fp": pa.array(
+                    np.concatenate(out_fps).view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    exploded = ds.map_batches(fps, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].unique())[:max_bucket]
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
+            )
+        iu = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
+
+    from ray.data.aggregate import Count
+
+    cand = (
+        _multi_member_buckets(exploded, ("fp",))
+        .groupby("fp")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(
+            lambda t: t, batch_format="pyarrow", zero_copy_batch=True
+        )  # pandas→arrow before the hash aggregate
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="n_shared"))
+    )
+    return cand.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_shared"], min_shared)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

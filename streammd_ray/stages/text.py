@@ -23,6 +23,11 @@ STOP_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
 PUNCT_RE = r"[.!?,;:]"
 TOKEN_RE = r"\S+"
 WORD_RE = r"\w+"
+# BPE-ish pre-tokenizer: the GPT-2 pattern family restated in the
+# lookahead-free RE2 subset (contraction suffixes, space-prefixed letter /
+# digit / symbol runs) — identical match counts in pyarrow and DuckDB since
+# both embed RE2, so the count is oracle-checkable
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+"
 CJK_RE = r"[一-鿿]"
 
 # language-marker stopword sets; priority order breaks ties (en>de>fr>es)
@@ -70,6 +75,7 @@ def text_stats(batch: pa.Table, *, col: str = "text") -> pa.Table:
     lower = pc.utf8_lower(text)
     n_chars = np.asarray(pc.fill_null(pc.utf8_length(text), 0), dtype=np.float64)
     n_tokens = _count(text, TOKEN_RE)
+    n_tokens_bpe = _count(text, BPE_RE)
     n_words = _count(text, WORD_RE)
     punct = _count(text, PUNCT_RE)
     stops = _count(lower, STOP_RE)
@@ -94,6 +100,7 @@ def text_stats(batch: pa.Table, *, col: str = "text") -> pa.Table:
     for name, arr, typ in [
         ("n_chars", n_chars.astype(np.int64), pa.int64()),
         ("n_tokens", n_tokens.astype(np.int64), pa.int64()),
+        ("n_tokens_bpe", n_tokens_bpe.astype(np.int64), pa.int64()),
         ("n_words", n_words.astype(np.int64), pa.int64()),
         ("punct_ratio", _round_half_away(punct_ratio, 6), pa.float64()),
         ("stop_ratio", _round_half_away(stop_ratio, 6), pa.float64()),
@@ -156,6 +163,10 @@ def text_stats_sql(col: str = "text") -> list[str]:
     """DuckDB expressions matching :func:`text_stats` column-for-column."""
     n_chars = f"coalesce(length({col}), 0)"
     n_tokens = f"coalesce(length(regexp_extract_all({col}, '{TOKEN_RE}')), 0)"
+    bpe_sql = BPE_RE.replace("'", "''")  # SQL string-literal escaping
+    n_tokens_bpe = (
+        f"coalesce(length(regexp_extract_all({col}, '{bpe_sql}')), 0)"
+    )
     n_words = f"coalesce(length(regexp_extract_all({col}, '{WORD_RE}')), 0)"
     punct = f"coalesce(length(regexp_extract_all({col}, '{PUNCT_RE}')), 0)"
     stops = f"coalesce(length(regexp_extract_all(lower({col}), '{STOP_RE}')), 0)"
@@ -172,6 +183,7 @@ def text_stats_sql(col: str = "text") -> list[str]:
     return [
         null_wrap(n_chars, "n_chars"),
         null_wrap(n_tokens, "n_tokens"),
+        null_wrap(n_tokens_bpe, "n_tokens_bpe"),
         null_wrap(n_words, "n_words"),
         null_wrap(f"round({punct_ratio}, 6)", "punct_ratio"),
         null_wrap(f"round({stop_ratio}, 6)", "stop_ratio"),
