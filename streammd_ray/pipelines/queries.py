@@ -980,6 +980,105 @@ JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 GROUP BY n.n_name"""
 
 
+def q_q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: lineitem ⋈ orders ⋈ customer with the local-supplier
+    condition (customer and supplier in the SAME nation). The supplier and
+    nation→region sides are DIMENSIONS (TPC-H supplier is 10K rows/SF):
+    both broadcast once via ray.put as dense lookup arrays, so the plan is
+    two hash joins + one vectorized attach — a third chained hash join
+    would also exhaust the join-aggregator actor budget on small clusters."""
+    import ray
+    import pyarrow.parquet as pq_
+    from ray.data.aggregate import Sum
+
+    nation = pq_.read_table(f"{sf_dir}/nation.parquet")
+    region = pq_.read_table(f"{sf_dir}/region.parquet")
+    supplier = pq_.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    reg_name = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    max_key = int(pc.max(nation["n_nationkey"]).as_py())
+    nat_name = np.empty(max_key + 1, dtype=object)
+    nat_name[nation["n_nationkey"].to_numpy()] = nation["n_name"].to_numpy(
+        zero_copy_only=False
+    )
+    nat_region = np.empty(max_key + 1, dtype=object)
+    nat_region[nation["n_nationkey"].to_numpy()] = [
+        reg_name[k] for k in nation["n_regionkey"].to_pylist()
+    ]
+    supp_nation = np.full(int(pc.max(supplier["s_suppkey"]).as_py()) + 1, -1, np.int64)
+    supp_nation[supplier["s_suppkey"].to_numpy()] = supplier["s_nationkey"].to_numpy()
+    ref = ray.put((nat_name, nat_region, supp_nation))
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    j1 = orders.join(
+        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    j2 = li.join(
+        j1, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    class Finish:
+        def __init__(self, ref):
+            self.nat_name, self.nat_region, self.supp_nation = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["c_nationkey"].to_numpy(zero_copy_only=False)
+            sk = self.supp_nation[t["l_suppkey"].to_numpy(zero_copy_only=False)]
+            # local-supplier condition + region filter (ASIA analog: pick
+            # the region of nation 0 deterministically)
+            keep = (ck == sk) & (self.nat_region[ck] == self.nat_region[0])
+            rev = pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            ).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "n_name": pa.array(self.nat_name[ck[keep]], pa.string()),
+                    "rev": pa.array(rev[keep]),
+                }
+            )
+
+    out = (
+        j2.map_batches(
+            Finish,
+            fn_constructor_kwargs={"ref": ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 4),
+        )
+        .groupby("n_name")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+    df = out.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return df
+
+
+def sql_q5_local_supplier_volume() -> str:
+    return """SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = (SELECT r2.r_name FROM nation n2 JOIN region r2
+                  ON n2.n_regionkey = r2.r_regionkey WHERE n2.n_nationkey = 0)
+GROUP BY n.n_name"""
+
+
 def q_salted_turn_stats(sf_dir: str):
     """The skew-safe two-level aggregation (stages/skew.py salted_groupby)
     exposed as a first-class oracle query: per-conversation turn counts and
@@ -1435,6 +1534,7 @@ QUERIES = {
     "q1_lineitem": q_q1_lineitem,
     "q3_shipping_priority": q_q3_shipping_priority,
     "revenue_by_nation": q_revenue_by_nation,
+    "q5_local_supplier_volume": q_q5_local_supplier_volume,
     "salted_turn_stats": q_salted_turn_stats,
     "events_hopping_window": q_events_hopping_window,
     "events_props_extract": q_events_props_extract,
@@ -1476,6 +1576,7 @@ ORACLES = {
     "q1_lineitem": sql_q1_lineitem(),
     "q3_shipping_priority": sql_q3_shipping_priority(),
     "revenue_by_nation": sql_revenue_by_nation(),
+    "q5_local_supplier_volume": sql_q5_local_supplier_volume(),
     "salted_turn_stats": sql_salted_turn_stats(),
     "events_hopping_window": sql_events_hopping_window(),
     "events_props_extract": sql_events_props_extract(),
