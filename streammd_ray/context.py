@@ -1,0 +1,51 @@
+"""Cluster-context-derived sizing knobs.
+
+Round 2 hardcoded ``num_partitions=8`` on every ``Dataset.join`` — fine at
+sf0.1 on one node, a bottleneck on a 256-node cluster where an all-to-all
+join would hash into only 8 reducers (VERDICT.md round 2, "What's wrong" #4).
+Partition counts are now derived from the cluster's CPU count at call time,
+optionally scaled up by a caller-supplied byte estimate, so the same pipeline
+code fans out proportionally wherever it runs.
+"""
+
+from __future__ import annotations
+
+# ~256 MiB of shuffled input per join partition keeps a reducer's working
+# set comfortably inside a worker heap while amortizing per-partition task
+# overhead — the same order as Ray Data's default target block size.
+TARGET_PARTITION_BYTES = 256 << 20
+
+
+def cluster_cpus(default: int = 8) -> int:
+    """Total CPUs Ray knows about; ``default`` when Ray isn't initialised
+    (e.g. unit tests of pure helpers)."""
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", default)) or default
+    except Exception:
+        pass
+    return default
+
+
+def auto_num_partitions(
+    *,
+    per_cpu: float = 1.0,
+    floor: int = 8,
+    cap: int = 4096,
+    bytes_hint: int | None = None,
+) -> int:
+    """Shuffle/join partition count sized to the cluster.
+
+    ``per_cpu`` partitions per cluster CPU (1.0 default: one reducer slot per
+    core — joins are memory-bound, oversubscription buys little), raised to
+    ``bytes_hint / TARGET_PARTITION_BYTES`` when the caller can estimate the
+    shuffled bytes, clamped to [floor, cap]. The floor keeps small test runs
+    parallel enough to exercise the multi-partition code paths; the cap
+    bounds scheduler pressure on very large clusters.
+    """
+    n = int(cluster_cpus() * per_cpu)
+    if bytes_hint is not None:
+        n = max(n, int(bytes_hint // TARGET_PARTITION_BYTES) + 1)
+    return max(floor, min(cap, n))

@@ -64,18 +64,33 @@ class SketchTail:
         self._ordinals: dict = {}
 
     def _write_part(self, batch: pa.Table) -> None:
+        import glob
         import os
 
         import pyarrow.parquet as pq
-        import ray
 
-        try:
-            tid = (ray.get_runtime_context().get_task_id() or "driver")[:16]
-        except Exception:
-            tid = "driver"
-        ordinal = self._ordinals.get(tid, 0)
-        self._ordinals[tid] = ordinal + 1
+        from .._runtime import task_identity
+
+        full_tid, attempt = task_identity()
+        tid = full_tid[:16]
         os.makedirs(self.output_dir, exist_ok=True)
+        rec = self._ordinals.get(tid)
+        if rec is None or rec[0] != attempt:
+            # this task id (re-)enters at ordinal 0: a retry in a still-alive
+            # worker keeps the per-worker map, so reset the ordinal AND delete
+            # any stale part files the earlier attempt left behind — otherwise
+            # the retry's parts land BESIDE the originals and duplicate rows
+            rec = [attempt, 0]
+            if attempt > 0:
+                for stale in glob.glob(
+                    os.path.join(self.output_dir, f"part-{tid}-*.parquet")
+                ):
+                    try:
+                        os.remove(stale)
+                    except OSError:
+                        pass
+        ordinal = rec[1]
+        self._ordinals[tid] = [attempt, ordinal + 1]
         path = os.path.join(self.output_dir, f"part-{tid}-{ordinal:05d}.parquet")
         tmp = path + ".tmp"
         pq.write_table(batch, tmp)

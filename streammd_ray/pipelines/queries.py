@@ -639,9 +639,14 @@ def sql_sample_stratified() -> str:
     cases = " ".join(
         f"WHEN '{s}' THEN {_threshold(r)}" for s, r in _STRAT_RATES.items()
     )
+    # key normalized into [0, 2^64) before the multiply — matches numpy's
+    # uint64 wraparound for negative keys (see sample_sql_predicate)
+    norm = (
+        f"(((CAST(doc_id AS HUGEINT) + {_SAMPLE_SEED}) % {TWO64} + {TWO64})"
+        f" % {TWO64})"
+    )
     return f"""SELECT doc_id, source FROM documents
-WHERE CAST(((CAST(doc_id AS HUGEINT) + {_SAMPLE_SEED}) * {LCG_MULT}
-            + {LCG_ADD}) % {TWO64} AS UBIGINT)
+WHERE CAST(({norm} * {LCG_MULT} + {LCG_ADD}) % {TWO64} AS UBIGINT)
       < (CASE source {cases} ELSE {_threshold(_STRAT_DEFAULT)} END)"""
 
 

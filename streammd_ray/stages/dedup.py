@@ -119,12 +119,17 @@ class _BloomShard:
             self.bf = BloomFilter(p, m=m, k=k, seeds=seeds)
         else:
             self.bf = BloomFilter(p, capacity, seeds=seeds)
+        import collections
+
         self.keys_seen = 0
         self.dups = 0
-        self._cache: dict = {}
+        # LRU: replayed (retried-task) lookups move their entry to the back,
+        # so eviction hits the coldest entries — those of long-finished tasks
+        # — first, not a live task's entry in a long-lived worker
+        self._cache: collections.OrderedDict = collections.OrderedDict()
         self._sealed = False
 
-    _CACHE_MAX = 1024
+    _CACHE_MAX = 4096
 
     def add(
         self, h1: np.ndarray, h2: np.ndarray, batch_key: bytes | None = None
@@ -150,13 +155,14 @@ class _BloomShard:
                 "(consume-once contract, pipelines/mark_duplicates.py)"
             )
         if batch_key is not None and batch_key in self._cache:
+            self._cache.move_to_end(batch_key)
             return self._cache[batch_key]
         was_new = self.bf.add_hashed(h1, h2)
         self.keys_seen += len(h1)
         self.dups += int((~was_new).sum())
         if batch_key is not None:
             if len(self._cache) >= self._CACHE_MAX:
-                self._cache.pop(next(iter(self._cache)))
+                self._cache.popitem(last=False)
             self._cache[batch_key] = was_new
         return was_new
 
@@ -256,23 +262,31 @@ class BloomMarkStage:
         self.shards = shards
         self.P = len(shards)
         self.mark_col = mark_col
-        # batch ordinal per physical Ray task: a retried task re-runs under
-        # the SAME task id and replays its batches in the same order, so
-        # (task_id, ordinal) identifies a physical batch across retries while
-        # distinguishing genuinely distinct batches with identical content
-        self._task_ordinals: dict = {}
+        # batch ordinal per physical Ray task ATTEMPT: a retried task re-runs
+        # under the SAME task id (possibly in the same still-alive worker
+        # process), so ordinals are reset whenever a task id re-enters under a
+        # new attempt number — (task_id, ordinal) then identifies a physical
+        # batch across retries (the retry's first batch gets ordinal 0 again
+        # and HITS the shard cache) while distinguishing genuinely distinct
+        # batches with identical content
+        self._task_ordinals: dict[str, list] = {}  # tid -> [attempt, next_ordinal]
 
     def _batch_key(self, h1_slice: np.ndarray) -> bytes:
-        import ray
+        from .._runtime import task_identity
 
-        try:
-            tid = ray.get_runtime_context().get_task_id() or ""
-        except Exception:
-            tid = ""
-        ordinal = self._task_ordinals.get(tid, 0)
-        self._task_ordinals[tid] = ordinal + 1
-        if len(self._task_ordinals) > 4096:  # bounded bookkeeping
-            self._task_ordinals.pop(next(iter(self._task_ordinals)))
+        tid, attempt = task_identity()
+        rec = self._task_ordinals.get(tid)
+        if rec is None or rec[0] != attempt:
+            rec = [attempt, 0]  # first batch of this task / of a retry
+        ordinal = rec[1]
+        self._task_ordinals[tid] = [attempt, ordinal + 1]
+        if len(self._task_ordinals) > 4096:  # bounded; never evict the live task
+            for k in self._task_ordinals:
+                if k != tid:
+                    del self._task_ordinals[k]
+                    break
+        # the key deliberately EXCLUDES the attempt number: a retry must
+        # produce the same key as the original so it replays from the cache
         h = hashlib.blake2b(digest_size=16)
         h.update(tid.encode())
         h.update(ordinal.to_bytes(8, "big"))

@@ -33,13 +33,20 @@ import pyarrow.compute as pc
 
 
 def _column_values(t: pa.Table, col: str) -> np.ndarray:
-    """Column → float64 ndarray with nulls/NaNs dropped."""
+    """Column → ndarray with nulls/NaNs dropped.
+
+    Integer and timestamp columns stay int64 end-to-end: casting them through
+    float64 would collapse distinct values above 2^53 and silently break the
+    exactness contract (ADVICE.md round 2). Bucket *boundaries* may still be
+    computed in float (approximation there only widens a range), but every
+    value comparison and the final np.unique run on the native int64 values.
+    """
     a = t[col]
     if isinstance(a, pa.ChunkedArray):
         a = a.combine_chunks()
-    if pa.types.is_timestamp(a.type):
-        a = a.cast(pa.int64())
-    v = a.to_numpy(zero_copy_only=False).astype(np.float64)
+    if pa.types.is_timestamp(a.type) or pa.types.is_integer(a.type):
+        return a.drop_null().cast(pa.int64()).to_numpy(zero_copy_only=False)
+    v = a.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
     return v[~np.isnan(v)]
 
 
@@ -73,17 +80,19 @@ def exact_quantile_select(
     position ceil(q·n)−1, 0-indexed, nulls/NaNs excluded)."""
     ds = ds.select_columns([col])
 
-    # pass 0: global count / min / max
+    # pass 0: global count / min / max (.item() keeps int64 columns exact —
+    # Python ints, never a lossy float64 round-trip)
     parts = _fold(
         ds,
         col,
-        lambda v: (len(v), float(v.min()), float(v.max())) if len(v) else (0, 0.0, 0.0),
+        lambda v: (len(v), v.min().item(), v.max().item()) if len(v) else (0, 0, 0),
     )
     n = sum(p[0] for p in parts)
     if n == 0:
         raise ValueError(f"exact_quantile_select: no non-null values in {col!r}")
     lo0 = min(p[1] for p in parts if p[0])
     hi0 = max(p[2] for p in parts if p[0])
+    is_int = isinstance(lo0, int)
 
     targets = []
     for q in qs:
@@ -103,8 +112,16 @@ def exact_quantile_select(
                 sel = v[(v >= lo) & (v <= hi)]
                 below = int((v < lo).sum())
                 if len(sel):
+                    # bucket ASSIGNMENT may be approximate (float); it is the
+                    # same monotone function on every block, and the final
+                    # pass re-ranks with exact comparisons, so float error
+                    # here only widens the next range
                     b = np.clip(
-                        ((sel - lo) / (hi - lo) * n_buckets).astype(np.int64),
+                        (
+                            (sel.astype(np.float64) - float(lo))
+                            / (float(hi) - float(lo))
+                            * n_buckets
+                        ).astype(np.int64),
                         0,
                         n_buckets - 1,
                     )
@@ -121,9 +138,9 @@ def exact_quantile_select(
             rank_in = t["rank"] - below
             cum = np.cumsum(counts)
             b = int(np.searchsorted(cum, rank_in + 1, side="left"))
-            width = (t["hi"] - t["lo"]) / n_buckets
-            new_lo = t["lo"] + b * width
-            new_hi = t["lo"] + (b + 1) * width if b + 1 < n_buckets else t["hi"]
+            width = (float(t["hi"]) - float(t["lo"])) / n_buckets
+            new_lo = float(t["lo"]) + b * width
+            new_hi = float(t["lo"]) + (b + 1) * width if b + 1 < n_buckets else t["hi"]
             # snap outward (ulps + relative margin) so float rounding in the
             # bucket arithmetic can never push the target value outside the
             # range; the final pass recomputes ranks with exact comparisons,
@@ -131,10 +148,19 @@ def exact_quantile_select(
             margin = width * 1e-6
             new_lo = np.nextafter(new_lo - margin, -np.inf)
             new_hi = np.nextafter(new_hi + margin, np.inf)
+            if is_int:
+                # integer path: snap outward to whole values with one extra
+                # unit of slack (float→int flooring near 2^63 is inexact);
+                # the max/min against the previous EXACT int bounds keeps the
+                # range inside the data's true [min, max]
+                new_lo = int(math.floor(new_lo)) - 1
+                new_hi = int(math.ceil(new_hi)) + 1
             in_bucket = int(counts[b])
             t["lo"], t["hi"] = max(t["lo"], new_lo), min(t["hi"], new_hi)
             if in_bucket <= max(1024, max_collect // max(1, len(qs))) or (
-                np.nextafter(t["lo"], np.inf) >= t["hi"]
+                t["hi"] - t["lo"] <= 1
+                if is_int
+                else np.nextafter(t["lo"], np.inf) >= t["hi"]
             ):
                 t["done"] = True
 
@@ -186,5 +212,7 @@ def exact_quantile_select(
                 "exact_quantile_select: rank fell outside the refined range "
                 "(internal invariant violation)"
             )
-        results.append(float(uvals[j]))
+        # .item(): Python int for int64 columns (exact above 2^53), float
+        # otherwise — int == float still compares equal for in-range values
+        results.append(uvals[j].item())
     return results

@@ -87,9 +87,16 @@ def sample_stratified(
 
 
 def sample_sql_predicate(rate: float, key_col: str, seed: int = 0) -> str:
-    """The identical keep-rule as ANSI SQL (DuckDB HUGEINT arithmetic)."""
+    """The identical keep-rule as ANSI SQL (DuckDB HUGEINT arithmetic).
+
+    The key+seed sum is normalized into [0, 2^64) BEFORE the multiply —
+    numpy's uint64 cast wraps negative int64 keys mod 2^64, and without the
+    same normalization the SQL side would carry a negative value through the
+    multiply and select different rows (ADVICE.md round 2). The normalized
+    product peaks at (2^64)·MULT ≈ 2^126.5, inside HUGEINT's 2^127 − 1.
+    """
     thr = _threshold(rate)
+    norm = f"(((CAST({key_col} AS HUGEINT) + {seed}) % {TWO64} + {TWO64}) % {TWO64})"
     return (
-        f"CAST(((CAST({key_col} AS HUGEINT) + {seed}) * {LCG_MULT} "
-        f"+ {LCG_ADD}) % {TWO64} AS UBIGINT) < {thr}"
+        f"CAST(({norm} * {LCG_MULT} + {LCG_ADD}) % {TWO64} AS UBIGINT) < {thr}"
     )

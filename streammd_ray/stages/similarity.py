@@ -75,7 +75,16 @@ def _fixed_binary_matrix(col, num_perm: int) -> np.ndarray:
     return flat.reshape(len(arr), num_perm)
 
 
-def _multi_member_buckets(ds, keys, *, num_partitions: int = 8):
+def _stack_vectors(col, dim: int) -> np.ndarray:
+    """list<float> column → (n, dim) float64 matrix; an EMPTY column (blocks
+    can arrive empty after upstream filters/repartition) yields a well-shaped
+    (0, dim) matrix instead of np.stack's ValueError (ADVICE.md round 2)."""
+    if len(col) == 0:
+        return np.zeros((0, dim), dtype=np.float64)
+    return np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+def _multi_member_buckets(ds, keys, *, num_partitions: int | None = None):
     """Drop singleton buckets BEFORE the per-group verification pass.
 
     ``groupby(...).map_groups`` pays a pandas call per GROUP, and in LSH
@@ -85,6 +94,10 @@ def _multi_member_buckets(ds, keys, *, num_partitions: int = 8):
     at web scale this removes billions of no-op group invocations."""
     from ray.data.aggregate import Count
 
+    from ..context import auto_num_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_num_partitions()
     schema = ds.schema()
     key_types = dict(zip(schema.names, schema.types))
 
@@ -318,13 +331,16 @@ def minhash_lsh_pairs(
         arr = pa.Array.from_buffers(pa.binary(num_perm * 8), len(sig), [None, buf])
         return pa.table({id_col: t[id_col], "sig": arr})
 
+    from ..context import auto_num_partitions
+
+    nparts = auto_num_partitions()
     packed = sigs.map_batches(pack_sig, batch_format="pyarrow")
     j1 = uniq.join(
         packed.map_batches(
             lambda t: t.rename_columns(["id_a", "sig_a"]), batch_format="pyarrow"
         ),
         "inner",
-        num_partitions=8,
+        num_partitions=nparts,
         on=("id_a",),
     )
     j2 = j1.join(
@@ -332,7 +348,7 @@ def minhash_lsh_pairs(
             lambda t: t.rename_columns(["id_b", "sig_b"]), batch_format="pyarrow"
         ),
         "inner",
-        num_partitions=8,
+        num_partitions=nparts,
         on=("id_b",),
     )
 
@@ -387,10 +403,14 @@ class SimHasher:
         h = hash64_batch(all_words, seed=self.seed)
         bits = ((h[:, None] & self._bits[None, :]) != 0).astype(np.int32)  # (W, 64)
         contrib = 2 * bits - 1
-        for i, (lo, hi) in enumerate(spans):
-            if hi > lo:
-                s = contrib[lo:hi].sum(axis=0)
-                out[i] = np.dot((s > 0).astype(np.uint64), self._bits)
+        # one np.add.reduceat over the per-doc span starts replaces the
+        # per-document Python loop (empty docs contribute no words, so the
+        # non-empty spans are contiguous and reduceat's [start_i, start_i+1)
+        # segments are exactly the docs)
+        doc_idx = np.array([i for i, (lo, hi) in enumerate(spans) if hi > lo])
+        starts = np.array([lo for lo, hi in spans if hi > lo])
+        sums = np.add.reduceat(contrib, starts, axis=0)  # (D', 64)
+        out[doc_idx] = ((sums > 0).astype(np.uint64) * self._bits[None, :]).sum(axis=1)
         return out
 
 
@@ -539,9 +559,15 @@ def embedding_topk(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False)
-            emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
-                np.float64
-            )
+            emb = _stack_vectors(batch[vec_col], self.q.shape[1])
+            if len(emb) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        id_col: batch[id_col].combine_chunks(),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
             emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
             sims = self.q @ emb.T  # (Q, n)
             kk = min(self.k, sims.shape[1])
@@ -594,10 +620,22 @@ def embedding_near_dup_pairs(
     import ray
     import ray.data as rd
 
+    first = ds.take(1)
+    if not first:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        )
+    dim = len(first[0][vec_col])
+
     def prep(t: pa.Table) -> pa.Table:
-        emb = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        emb = _stack_vectors(t[vec_col], dim)
         emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-        dim = emb.shape[1] if emb.ndim == 2 else 0
         return pa.table(
             {
                 id_col: t[id_col],
@@ -615,7 +653,8 @@ def embedding_near_dup_pairs(
     block_refs = [
         ref
         for bundle in compact.iter_internal_ref_bundles()
-        for ref in bundle.block_refs
+        for ref, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
     ]
 
     @ray.remote
@@ -675,9 +714,7 @@ def embedding_lsh_buckets(
             self.planes = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
-                np.float64
-            )
+            emb = _stack_vectors(batch[vec_col], self.planes.shape[0])
             signs = (emb @ self.planes) > 0
             bucket = (signs.astype(np.uint64) * bits[None, :]).sum(axis=1)
             from .text import set_column
@@ -716,10 +753,21 @@ def embedding_lsh_near_dup_pairs(
     (tests/test_similarity.py); at threshold t the per-band match
     probability is (1 − arccos(t)/π)^n_planes, OR-ed over bands."""
     import ray
+    import ray.data as rd
 
     rng = np.random.default_rng(seed)
-    first = ds.take(1)[0][vec_col]
-    dim = len(first)
+    head = ds.take(1)
+    if not head:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        )
+    dim = len(head[0][vec_col])
     planes = rng.standard_normal((n_bands, dim, n_planes))
     ref = ray.put(planes)
     bits = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
@@ -730,9 +778,7 @@ def embedding_lsh_near_dup_pairs(
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t[id_col].to_numpy(zero_copy_only=False)
-            emb = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(
-                np.float64
-            )
+            emb = _stack_vectors(t[vec_col], dim)
             emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
             n = len(ids)
             out_band = np.repeat(np.arange(n_bands, dtype=np.int32), n)
@@ -743,11 +789,15 @@ def embedding_lsh_near_dup_pairs(
                 buckets[b * n : (b + 1) * n] = (
                     signs.astype(np.uint64) * bits[None, :]
                 ).sum(axis=1)
-            flat = np.ascontiguousarray(np.tile(emb, (n_bands, 1)))
+            # float32 transport: the normalized vectors ride the band shuffle
+            # n_bands× duplicated, so halving bytes/vector halves the whole
+            # shuffle; verification upcasts to float64, and at |cos| ≤ 1 the
+            # ~1e-7 quantization error is far below any useful threshold gap
+            flat = np.ascontiguousarray(np.tile(emb, (n_bands, 1)), dtype=np.float32)
             # vector rides as fixed-size BINARY: acero hash joins (used by
             # the singleton-bucket semi-join) reject list-typed payloads
             nv = pa.Array.from_buffers(
-                pa.binary(dim * 8), len(flat), [None, pa.py_buffer(flat.tobytes())]
+                pa.binary(dim * 4), len(flat), [None, pa.py_buffer(flat.tobytes())]
             )
             return pa.table(
                 {
@@ -779,7 +829,11 @@ def embedding_lsh_near_dup_pairs(
             return empty
         g = g.sort_values(id_col).head(max_bucket)
         ids = g[id_col].to_numpy()
-        v = np.frombuffer(b"".join(g["__nv"]), dtype=np.float64).reshape(len(g), -1)
+        v = (
+            np.frombuffer(b"".join(g["__nv"]), dtype=np.float32)
+            .reshape(len(g), -1)
+            .astype(np.float64)
+        )
         sims = v @ v.T
         ai, bj = np.nonzero(sims >= threshold)
         keep = ids[ai] < ids[bj]
@@ -851,9 +905,7 @@ def embedding_ivf_index(
             self.cents = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
-                np.float64
-            )
+            emb = _stack_vectors(batch[vec_col], self.cents.shape[1])
             emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
             cl = (emb @ self.cents.T).argmax(axis=1).astype(np.int32)
             from .text import set_column
@@ -907,10 +959,16 @@ def embedding_ivf_topk(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        id_col: batch[id_col].combine_chunks(),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
             cl = np.asarray(batch["ivf_cluster"].combine_chunks(), dtype=np.int64)
-            emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
-                np.float64
-            )
+            emb = _stack_vectors(batch[vec_col], self.q.shape[1])
             emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
             sims = self.q @ emb.T  # (Q, n)
             sims = np.where(self.allowed[:, cl], sims, -np.inf)
@@ -979,12 +1037,18 @@ def embedding_lsh_topk(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        id_col: batch[id_col].combine_chunks(),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
             bu = np.asarray(
                 batch["lsh_bucket"].combine_chunks(), dtype=np.uint64
             ).astype(np.int64)
-            emb = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
-                np.float64
-            )
+            emb = _stack_vectors(batch[vec_col], self.q.shape[1])
             emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
             sims = self.q @ emb.T
             sims = np.where(self.allowed[:, bu], sims, -np.inf)

@@ -145,3 +145,133 @@ def test_checkpoint_resume_restores_counters(ray_session, tmp_path):
         counters = json.load(f)
     assert sum(c["keys_seen"] for c in counters) == 16
     assert sum(c["dups"] for c in counters) == m2["metrics"]["TURNS_MARKED_DUPLICATE"]
+
+
+# ---------------------------------------------------------------------------
+# round-2 ADVICE findings
+# ---------------------------------------------------------------------------
+
+
+def test_mark_stage_retry_resets_ordinal(monkeypatch):
+    """A same-process task retry (same task id, bumped attempt number) must
+    restart its ordinal at 0 so its batch_keys replay the shard cache; the
+    round-2 bug left the ordinal counter running, producing fresh keys that
+    re-inserted every key and self-marked the retried rows."""
+    import streammd_ray.stages.dedup as dd
+    from streammd_ray.stages.dedup import BloomMarkStage
+
+    stage = BloomMarkStage.__new__(BloomMarkStage)
+    stage._task_ordinals = {}
+    h = np.array([1, 2, 3], dtype=np.uint64)
+
+    ident = {"v": ("task-X", 0)}
+    monkeypatch.setattr("streammd_ray._runtime.task_identity", lambda: ident["v"])
+    k_a0_b0 = stage._batch_key(h)
+    k_a0_b1 = stage._batch_key(h)
+    assert k_a0_b0 != k_a0_b1
+
+    # retry: same task id, attempt 1 — keys must MATCH attempt 0's
+    ident["v"] = ("task-X", 1)
+    assert stage._batch_key(h) == k_a0_b0
+    assert stage._batch_key(h) == k_a0_b1
+
+    # a different task never collides
+    ident["v"] = ("task-Y", 0)
+    assert stage._batch_key(h) != k_a0_b0
+
+
+def test_sketch_tail_retry_overwrites_parts(monkeypatch, tmp_path):
+    """A same-process retry of a sink task must not leave the first
+    attempt's part files beside its own (silent row duplication)."""
+    import pickle
+
+    import pyarrow as pa
+
+    from streammd_ray.pipelines.flagship import SketchTail
+
+    tail = SketchTail(pickle.dumps({}), output_dir=str(tmp_path))
+    batch = pa.table({"text": ["a", "b"], "is_duplicate": [False, True]})
+
+    ident = {"v": ("t" * 20, 0)}
+    monkeypatch.setattr(
+        "streammd_ray._runtime.task_identity", lambda: ident["v"]
+    )
+    tail(batch)
+    tail(batch)  # attempt 0 writes ordinals 0 and 1
+    names0 = sorted(p.name for p in tmp_path.glob("*.parquet"))
+    assert len(names0) == 2
+
+    ident["v"] = ("t" * 20, 1)  # same-process retry, writes only ONE batch
+    tail(batch)
+    names1 = sorted(p.name for p in tmp_path.glob("*.parquet"))
+    # stale attempt-0 parts were removed; only the retry's ordinal-0 remains
+    assert names1 == [names0[0]]
+
+
+def test_quantiles_int64_exact_above_2_53(ray_session):
+    """int64 columns must not round-trip through float64: distinct values
+    above 2^53 (collapsing under float) stay exact."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from streammd_ray.stages.quantiles import exact_quantile_select
+
+    base = 2**60
+    # 1001 consecutive int64 values — ALL collapse to the same float64
+    v = np.arange(base, base + 1001, dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"x": v})).repartition(4)
+    got = exact_quantile_select(ds, "x", (0.5,))
+    assert got == [base + 500]  # exact int, not a float-rounded neighbor
+
+
+def test_embedding_ops_survive_empty_blocks(ray_session):
+    """Blocks emptied by an upstream filter must not crash np.stack in the
+    vector-prep stages."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from streammd_ray.stages.similarity import (
+        embedding_lsh_near_dup_pairs,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    emb = rng.standard_normal((40, 8))
+    emb[1] = emb[0]  # one exact dup pair
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(40), pa.int64()),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+        }
+    )
+    # filter leaves some partitions empty
+    ds = rd.from_arrow(t).repartition(8).filter(lambda r: r["vec_id"] < 5)
+    exact = embedding_near_dup_pairs(ds, threshold=0.99).to_pandas()
+    assert {(0, 1)} == set(zip(exact.id_a, exact.id_b))
+    approx = embedding_lsh_near_dup_pairs(ds, threshold=0.99).to_pandas()
+    assert (0, 1) in set(zip(approx.id_a, approx.id_b))
+
+
+def test_sampling_sql_parity_negative_keys(ray_session):
+    """Ray and DuckDB must select the SAME rows for negative int64 keys
+    (numpy wraps them mod 2^64; the SQL predicate must normalize too)."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+
+    from streammd_ray.stages.sampling import sample_sql_predicate, sample_uniform
+
+    keys = np.array(
+        [-1, -2, -(2**62), -12345678901234, 0, 1, 2**62, 77], dtype=np.int64
+    )
+    t = pa.table({"k": keys})
+    got = sorted(
+        sample_uniform(rd.from_arrow(t), rate=0.5, key_col="k", seed=9)
+        .to_pandas()["k"]
+        .tolist()
+    )
+    pred = sample_sql_predicate(0.5, "k", seed=9)
+    want = sorted(
+        duckdb.sql(f"SELECT k FROM t WHERE {pred} ORDER BY k").df()["k"].tolist()
+    )
+    assert got == want and len(want) > 0
