@@ -18,6 +18,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..context import auto_num_partitions
 from ..sources.io import read_parquet_clean
 from ..sources.transcripts import derive_transcripts, transcripts_sql
 from ..stages.dedup import dedup_exact_first
@@ -797,7 +798,7 @@ def q_orders_per_segment(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
     joined = orders.join(
-        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust, "inner", num_partitions=auto_num_partitions(), on=("o_custkey",), right_on=("c_custkey",)
     )
     out = (
         joined.groupby("c_mktsegment")
@@ -864,8 +865,8 @@ def q_q3_shipping_priority(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    j1 = orders.join(cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",))
-    j2 = li.join(j1, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+    j1 = orders.join(cust, "inner", num_partitions=auto_num_partitions(), on=("o_custkey",), right_on=("c_custkey",))
+    j2 = li.join(j1, "inner", num_partitions=auto_num_partitions(), on=("l_orderkey",), right_on=("o_orderkey",))
 
     def disc_price(t: pa.Table) -> pa.Table:
         rev = pc.multiply(
@@ -938,10 +939,10 @@ def q_revenue_by_nation(sf_dir: str):
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
     j1 = orders.join(
-        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust, "inner", num_partitions=auto_num_partitions(), on=("o_custkey",), right_on=("c_custkey",)
     )
     j2 = li.join(
-        j1, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        j1, "inner", num_partitions=auto_num_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
     )
 
     class Attach:
@@ -1028,10 +1029,10 @@ def q_q5_local_supplier_volume(sf_dir: str):
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
     j1 = orders.join(
-        cust, "inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+        cust, "inner", num_partitions=auto_num_partitions(), on=("o_custkey",), right_on=("c_custkey",)
     )
     j2 = li.join(
-        j1, "inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+        j1, "inner", num_partitions=auto_num_partitions(), on=("l_orderkey",), right_on=("o_orderkey",)
     )
 
     class Finish:
@@ -1226,7 +1227,7 @@ def q_customers_without_orders(sf_dir: str):
         zero_copy_batch=True,
     )
     return cust.join(
-        urgent, "left_anti", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",)
+        urgent, "left_anti", num_partitions=auto_num_partitions(), on=("c_custkey",), right_on=("o_custkey",)
     )
 
 
@@ -1346,8 +1347,11 @@ def ngram_jaccard_pairs(
     — the signature estimates the SAME char-trigram Jaccard being verified)
     → hash-join both texts onto the candidate pairs → exact set-Jaccard
     verification inside map_batches over the pairs. The driver never holds
-    the text table (round 1 read it all into pandas and looped per pair)."""
-    from ..stages.similarity import _char_ngrams, minhash_lsh_pairs
+    the text table (round 1 read it all into pandas and looped per pair);
+    verification is segment-vectorized (round 2 built a Python set per
+    pair): one code-point packing pass + two lexsorts per batch, no
+    per-pair work."""
+    from ..stages.similarity import _char_gram_ids, minhash_lsh_pairs
 
     cands = minhash_lsh_pairs(
         docs,
@@ -1372,22 +1376,39 @@ def ngram_jaccard_pairs(
     def verify(t: pa.Table) -> pa.Table:
         ids_a = t["id_a"].to_numpy(zero_copy_only=False)
         ids_b = t["id_b"].to_numpy(zero_copy_only=False)
-        ta = t["__text_a"].to_pylist()
-        tb = t["__text_b"].to_pylist()
-        out_a, out_b, out_j = [], [], []
-        for a, b, x, y in zip(ids_a, ids_b, ta, tb):
-            sa, sb = _char_ngrams(x or "", n), _char_ngrams(y or "", n)
-            u = len(sa | sb)
-            j = len(sa & sb) / u if u else 0.0
-            if j >= threshold:
-                out_a.append(int(a))
-                out_b.append(int(b))
-                out_j.append(round(j, 6))
+        texts = t["__text_a"].to_pylist() + t["__text_b"].to_pylist()
+        n_pairs = len(ids_a)
+        # segment 2i = pair i's text_a grams, 2i+1 = text_b grams
+        seg_of = np.concatenate(
+            [np.arange(n_pairs) * 2, np.arange(n_pairs) * 2 + 1]
+        )
+        gram, seg = _char_gram_ids(texts, seg_of, n)
+        inter = np.zeros(n_pairs, dtype=np.int64)
+        sizes = np.zeros(2 * n_pairs, dtype=np.int64)
+        if len(gram):
+            # distinct (segment, gram): one lexsort + neighbor-diff
+            o = np.lexsort((gram, seg))
+            g_s, s_s = gram[o], seg[o]
+            first = np.ones(len(g_s), dtype=bool)
+            first[1:] = (g_s[1:] != g_s[:-1]) | (s_s[1:] != s_s[:-1])
+            g_u, s_u = g_s[first], s_s[first]
+            sizes = np.bincount(s_u, minlength=2 * n_pairs)
+            # |A ∩ B| per pair: resort distinct grams by (pair, gram); a
+            # gram shared by the pair's two segments becomes one adjacent
+            # duplicate (each segment's grams are unique after the dedup)
+            rows = s_u >> 1
+            o2 = np.lexsort((g_u, rows))
+            r2, g2 = rows[o2], g_u[o2]
+            dup = (r2[1:] == r2[:-1]) & (g2[1:] == g2[:-1])
+            inter = np.bincount(r2[1:][dup], minlength=n_pairs)
+        union = sizes[0::2] + sizes[1::2] - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+        keep = jac >= threshold
         return pa.table(
             {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
+                "id_a": pa.array(ids_a[keep].astype(np.int64), pa.int64()),
+                "id_b": pa.array(ids_b[keep].astype(np.int64), pa.int64()),
+                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
             }
         )
 

@@ -408,7 +408,7 @@ def dedup_exact_first(
     mark_col: str = "is_duplicate",
     drop_key_cols: bool = True,
     strategy: str = "join",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ):
     """Exact first-seen-wins duplicate marking, deterministic under any
     partition layout: first = min(order_cols) per distinct key.
@@ -426,6 +426,10 @@ def dedup_exact_first(
     Null-key rows are salted across groups by row identity so the null
     fraction doesn't become one giant group; they are never marked.
     """
+    if num_partitions is None:
+        from ..context import auto_num_partitions
+
+        num_partitions = auto_num_partitions()
 
     def salt_nulls(batch: pa.Table) -> pa.Table:
         h1 = np.asarray(batch[KEY_H1].combine_chunks(), dtype=np.int64).view(np.uint64)

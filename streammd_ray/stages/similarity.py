@@ -48,6 +48,83 @@ def _char_ngrams(text: str, n: int) -> set:
     return {t[i : i + n] for i in range(len(t) - n + 1)}
 
 
+_GRAM_SENTINEL = np.uint32(0xFFFFFFFF)  # not a valid code point (> 0x10FFFF)
+_GRAM_SHORT = np.uint64(1) << np.uint64(63)
+
+
+def _char_gram_ids(
+    texts: list, seg_of: np.ndarray, n: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Char-n-gram ids for MANY texts in one vectorized pass (the batch
+    analog of :func:`_char_ngrams`, same normalization: whitespace-collapse
+    + lower).
+
+    Texts concatenate into one UTF-32 code-point array with sentinel gaps;
+    all grams come from a single ``sliding_window_view``. For n ≤ 3 the id
+    is an EXACT packing (code points are ≤ 21 bits, 3·21 = 63); larger n
+    uses a 64-bit polynomial hash (collision odds ~grams²/2^64). Texts
+    shorter than n contribute one whole-text gram carrying a marker bit —
+    the `_char_ngrams` short-text rule. Returns (gram_id uint64, segment
+    int64) per gram OCCURRENCE; callers dedupe per segment.
+    """
+    arrs: list[np.ndarray] = []
+    segs: list[int] = []
+    lens: list[int] = []
+    short_ids: list[np.uint64] = []
+    short_segs: list[int] = []
+    pad = np.full(max(n - 1, 0), _GRAM_SENTINEL, dtype=np.uint32)
+
+    def poly(cp: np.ndarray) -> np.uint64:
+        g = np.uint64(0)
+        for c in cp:
+            g = g * np.uint64(0x100000001B3) + np.uint64(c)
+        return g & ~_GRAM_SHORT
+
+    for s, x in zip(seg_of, texts):
+        t = " ".join(x.split()).lower() if x else ""
+        if not t:
+            continue
+        a = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        if len(a) < n:
+            if n <= 3:
+                gid = np.uint64(0)
+                for j in range(len(a)):
+                    gid |= np.uint64(a[j]) << np.uint64(21 * j)
+            else:
+                gid = poly(a)
+            short_ids.append(gid | _GRAM_SHORT)
+            short_segs.append(int(s))
+        else:
+            arrs.extend((a, pad))
+            segs.append(int(s))
+            lens.append(len(a) + len(pad))
+
+    if arrs:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        big = np.concatenate(arrs)
+        win = sliding_window_view(big, n)
+        valid = (win != _GRAM_SENTINEL).all(axis=1)
+        if n <= 3:
+            gid = win[:, 0].astype(np.uint64)
+            for j in range(1, n):
+                gid |= win[:, j].astype(np.uint64) << np.uint64(21 * j)
+        else:
+            gid = np.zeros(len(win), dtype=np.uint64)
+            for j in range(n):
+                gid = gid * np.uint64(0x100000001B3) + win[:, j].astype(np.uint64)
+            gid &= ~_GRAM_SHORT
+        seg_arr = np.repeat(np.asarray(segs, np.int64), np.asarray(lens))[: len(win)]
+        gid, seg_arr = gid[valid], seg_arr[valid]
+    else:
+        gid = np.zeros(0, dtype=np.uint64)
+        seg_arr = np.zeros(0, dtype=np.int64)
+    if short_ids:
+        gid = np.concatenate([gid, np.asarray(short_ids, np.uint64)])
+        seg_arr = np.concatenate([seg_arr, np.asarray(short_segs, np.int64)])
+    return gid, seg_arr
+
+
 def _list_matrix(col, dtype) -> np.ndarray:
     """FixedSizeList column → (n, width) matrix via the flat values buffer
     (no per-row Python)."""

@@ -405,3 +405,37 @@ def test_winnow_overlap_pairs_pipeline(ray_session, corpus):
     for i in range(5):
         assert (i, 1000 + i) in got
     assert (pairs["n_shared"] >= 2).all()
+
+
+def test_char_gram_ids_match_set_semantics():
+    """The vectorized gram-id packing must reproduce _char_ngrams' set
+    semantics exactly: per-text distinct counts and pairwise intersections."""
+    import numpy as np
+
+    from streammd_ray.stages.similarity import _char_gram_ids, _char_ngrams
+
+    texts = [
+        "the quick brown fox",
+        "the  quick\tBROWN fox ",  # normalizes equal to the first
+        "ab",  # shorter than n -> whole-text gram
+        "",
+        None,
+        "a",
+        "naïve café naïve",  # multi-byte chars: char (not byte) grams
+        "x" * 500,
+    ]
+    n = 3
+    seg = np.arange(len(texts))
+    gid, s = _char_gram_ids(texts, seg, n)
+    for i, t in enumerate(texts):
+        want = _char_ngrams(t or "", n)
+        got = set(gid[s == i].tolist())
+        assert len(got) == len(want), (i, t)
+    # identical normalized texts -> identical gram-id sets
+    assert set(gid[s == 0].tolist()) == set(gid[s == 1].tolist())
+    # different short texts -> different ids
+    assert set(gid[s == 2].tolist()) != set(gid[s == 5].tolist())
+    # intersection sizes match set semantics for a real pair
+    sa, sb = _char_ngrams(texts[0], n), _char_ngrams(texts[7], n)
+    ga, gb = set(gid[s == 0].tolist()), set(gid[s == 7].tolist())
+    assert len(ga & gb) == len(sa & sb)
