@@ -49,3 +49,39 @@ def auto_num_partitions(
     if bytes_hint is not None:
         n = max(n, int(bytes_hint // TARGET_PARTITION_BYTES) + 1)
     return max(floor, min(cap, n))
+
+
+def drop_empty_blocks(ds, empty_schema=None):
+    """Materialize ``ds`` and rebuild it from its non-empty blocks only.
+
+    Ray 2.49's hash-aggregate finalize emits a ZERO-COLUMN empty block for
+    every reducer partition that received no rows (e.g. fewer distinct group
+    keys than shuffle partitions), and ``map_batches`` *skips* empty blocks
+    entirely, so no downstream stage can repair their schema. Feeding such a
+    block into ``Dataset.join`` fails inside acero with "No match ... for key
+    field reference" because the join-key column doesn't exist in that block.
+    This helper is the containment: call it on an aggregate output that will
+    flow into a join. The materialize is acceptable exactly there — aggregate
+    outputs are already fully materialized by the hash shuffle's finalize, so
+    this adds only driver-side metadata work (block refs stay in the object
+    store; no data moves).
+
+    ``empty_schema`` (a pyarrow.Schema) types the result when EVERY block is
+    empty — otherwise an empty dataset with unknown schema would reproduce
+    the original failure one step later.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    m = ds.materialize()
+    refs = [
+        ref
+        for bundle in m.iter_internal_ref_bundles()
+        for ref, meta in bundle.blocks
+        if meta.num_rows is None or meta.num_rows > 0
+    ]
+    if not refs:
+        if empty_schema is None:
+            empty_schema = pa.schema([])
+        return rd.from_arrow(empty_schema.empty_table())
+    return rd.from_arrow_refs(refs)

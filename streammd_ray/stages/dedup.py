@@ -483,8 +483,22 @@ def dedup_exact_first(
         from ray.data.aggregate import Min
 
         keyed = ds.map_batches(add_rank, batch_format="pyarrow", zero_copy_batch=True)
+        from ..context import drop_empty_blocks
+
         mins = keyed.groupby([KEY_H1, KEY_H2]).aggregate(
             Min("__rank", alias_name="__min_rank")
+        )
+        # empty reducer partitions finalize to zero-column blocks which the
+        # join below cannot key — strip them (context.drop_empty_blocks)
+        mins = drop_empty_blocks(
+            mins,
+            empty_schema=pa.schema(
+                [
+                    (KEY_H1, pa.int64()),
+                    (KEY_H2, pa.int64()),
+                    ("__min_rank", pa.string()),
+                ]
+            ),
         )
         joined = keyed.join(
             mins,

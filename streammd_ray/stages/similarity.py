@@ -188,10 +188,18 @@ def _multi_member_buckets(ds, keys, *, num_partitions: int | None = None):
                 t = t.set_column(i, k, t[k].cast(key_types[k]))
         return t
 
+    from ..context import drop_empty_blocks
+
     multi = (
         ds.groupby(list(keys))
         .aggregate(Count(alias_name="__bucket_n"))
         .map_batches(keep_multi, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    # hash-aggregate finalize emits zero-COLUMN blocks for empty reducer
+    # partitions and map_batches skips empty blocks, so they'd reach acero
+    # missing the join key — strip them (see context.drop_empty_blocks)
+    multi = drop_empty_blocks(
+        multi, empty_schema=pa.schema([(k, key_types[k]) for k in keys])
     )
     return ds.join(multi, "left_semi", num_partitions=num_partitions, on=tuple(keys))
 
@@ -303,6 +311,7 @@ def minhash_lsh_pairs(
     shingle_mode: str = "word",
     threshold: float = 0.8,
     concurrency=None,
+    checkpoint=None,
 ):
     """Candidate near-dup pairs via MinHash-LSH, verified by signature
     Jaccard estimate ≥ threshold. Returns a Dataset of (id_a, id_b, jaccard)
@@ -313,6 +322,15 @@ def minhash_lsh_pairs(
     pairs within bucket (map_groups; bucket sizes are bounded by similarity
     structure — a pathological all-identical corpus is the skew case, handled
     by capping per-bucket pair emission) → global pair dedup via groupby.
+
+    ``checkpoint`` (a :class:`streammd_ray.state.stages.StageCheckpoint`)
+    makes the job resumable: the signature table, the deduplicated candidate
+    pairs, and the verified output are each persisted as parquet stages with
+    a manifest — a killed multi-hour run resumes at the last completed stage
+    instead of restarting (the single-pass-or-nothing anti-model the north
+    rule names; /root/reference/src/streammd.cxx:161-164). Every stage is a
+    deterministic function of the seeded hashers + input, so the resumed
+    output is byte-identical to a single-pass run.
     """
     rows_per_band = num_perm // bands
     Stage = minhash_signature_stage(
@@ -337,13 +355,21 @@ def minhash_lsh_pairs(
         fn, kw = sig_fn, {}
     else:
         fn, kw = Stage, {"concurrency": concurrency}
-    sigs = ds.map_batches(
-        fn,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        batch_size=1024,
-        **kw,
-    ).materialize()
+    def compute_sigs():
+        return ds.map_batches(
+            fn,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=1024,
+            **kw,
+        )
+
+    if checkpoint is not None:
+        # persisted intermediate: ~1 KB/doc of signatures streamed to
+        # parquet; on resume the whole read+shingle+hash pass is skipped
+        sigs = checkpoint.run("signatures", compute_sigs)
+    else:
+        sigs = compute_sigs().materialize()
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         """(band, bucket, doc_id) ONLY — the signature does NOT ride the
@@ -398,7 +424,25 @@ def minhash_lsh_pairs(
     # in one vectorized hash aggregation (no per-pair pandas group call)
     from ray.data.aggregate import Count
 
-    uniq = cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__nb"))
+    from ..context import drop_empty_blocks
+
+    # strip the zero-column blocks hash-aggregate finalize emits for empty
+    # reducer partitions — they'd break the signature joins below (acero
+    # can't find the join key in a schemaless block)
+    def compute_uniq():
+        return drop_empty_blocks(
+            cand.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="__nb")),
+            empty_schema=pa.schema(
+                [("id_a", pa.int64()), ("id_b", pa.int64()), ("__nb", pa.int64())]
+            ),
+        )
+
+    if checkpoint is not None:
+        # the band-explode shuffle + bucket pairing is the job's widest
+        # stage; a crash after it resumes from the slim candidate table
+        uniq = checkpoint.run("candidates", compute_uniq)
+    else:
+        uniq = compute_uniq()
 
     # join each side's signature once (signatures stored as fixed-size
     # binary — hash-join-able payload; decoded zero-copy via frombuffer)
@@ -450,9 +494,14 @@ def minhash_lsh_pairs(
             }
         )
 
-    return j2.map_batches(verify, batch_format="pyarrow").select_columns(
-        ["id_a", "id_b", "jaccard"]
-    )
+    def compute_pairs():
+        return j2.map_batches(verify, batch_format="pyarrow").select_columns(
+            ["id_a", "id_b", "jaccard"]
+        )
+
+    if checkpoint is not None:
+        return checkpoint.run("pairs", compute_pairs)
+    return compute_pairs()
 
 
 # ---------------------------------------------------------------------------
