@@ -10,3 +10,7 @@ zero-copy Arrow batches with actor pools for stateful stages.
 """
 
 __version__ = "0.1.0"
+
+from .compat import apply_ray_patches as _apply_ray_patches
+
+_apply_ray_patches()
