@@ -945,6 +945,77 @@ def q_media_wav_stats(sf_dir: str):
     )
 
 
+def q_media_decode_bmp(sf_dir: str):
+    """ORACLE-CHECKED real image decode: deterministic 24-bit BMP payloads
+    derived from documents rows (width / height / fill color are integer
+    arithmetic on doc_id and n_chars) are encoded in one map_batches stage,
+    shipped as opaque binary, decoded by the registry 'bmp' codec in the
+    actor-pool decode stage, and the DECODED dims, payload byte size, and
+    dominant-luminance feature bin are emitted. Every output column is
+    recomputable as SQL arithmetic over documents (BMP size = 54 + padded
+    stride × height; constant fill v ⇒ luminance histogram peaks at v//16),
+    so DuckDB cross-checks the full encode→ship→decode→featurize roundtrip:
+    a mis-parsed header, wrong row padding, or broken feature kernel flips a
+    value and fails the hash compare."""
+    from ..stages.multimodal import decode_media, encode_bmp
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def build(t: pa.Table) -> pa.Table:
+        doc_id = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_chars = t["n_chars"].to_numpy(zero_copy_only=False)
+        w = 8 + doc_id % 40
+        h = 8 + n_chars % 40
+        fill = (doc_id % 256).astype(np.uint8)
+        payloads = [
+            encode_bmp(np.full((int(hh), int(ww), 3), f, np.uint8))
+            for hh, ww, f in zip(h, w, fill)
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(doc_id, pa.int64()),
+                "media_type": pa.array(["image"] * len(t), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+            }
+        )
+
+    built = ds.map_batches(
+        build, batch_format="pyarrow", zero_copy_batch=True, batch_size=128
+    )
+    out = decode_media(built, decoder="bmp", batch_size=64)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = len(t)
+        feats = np.asarray(t["features"].combine_chunks().flatten()).reshape(n, -1)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "width": pc.cast(t["width"], pa.int64()),
+                "height": pc.cast(t["height"], pa.int64()),
+                "channels": pc.cast(t["channels"], pa.int64()),
+                "n_bytes": t["n_bytes"],
+                "lum_bin": pa.array(feats.argmax(axis=1).astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("media_id")
+
+
+def sql_media_decode_bmp() -> str:
+    return """SELECT doc_id AS media_id,
+       8 + doc_id % 40 AS width,
+       8 + n_chars % 40 AS height,
+       CAST(3 AS BIGINT) AS channels,
+       54 + (((8 + doc_id % 40) * 3 + 3) // 4) * 4 * (8 + n_chars % 40) AS n_bytes,
+       (doc_id % 256) // 16 AS lum_bin
+FROM documents ORDER BY doc_id"""
+
+
 def q_transcripts_sorted(sf_dir: str):
     """ORDER-VERIFIED query: sort the transcripts by (conv_id, turn_idx) in
     Ray, then stamp each row with its PHYSICAL position in the sorted
@@ -1945,6 +2016,7 @@ QUERIES = {
     "media_features": q_media_features,
     "media_ppm_stats": q_media_ppm_stats,
     "media_wav_stats": q_media_wav_stats,
+    "media_decode_bmp": q_media_decode_bmp,
     "q1_lineitem": q_q1_lineitem,
     "q3_shipping_priority": q_q3_shipping_priority,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1988,6 +2060,7 @@ ORACLES = {
     "kll_accuracy": sql_kll_accuracy(),
     "embedding_lsh_recall": sql_embedding_lsh_recall(),
     "ann_recall": sql_ann_recall(),
+    "media_decode_bmp": sql_media_decode_bmp(),
     "text_stats": sql_text_stats(),
     "lang_id": sql_lang_id(),
     "fingerprint": sql_fingerprint(),
