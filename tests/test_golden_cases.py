@@ -246,3 +246,158 @@ def test_bloom_identity_divergence_documented(ray_session):
     # exactly one survivor per distinct key, every other row marked
     assert (survivors == 1).all()
     assert survivors.sum() + out["is_duplicate"].sum() == len(df)
+
+
+# ---------------------------------------------------------------------------
+# round-3 conformance breadth (VERDICT.md r2 "What's missing" #1: toward the
+# reference's 51-case adversarial rigor — unicode normalization, megabyte
+# values, separator injection, validator-rejection goldens)
+# ---------------------------------------------------------------------------
+
+NFC_E = "café"  # é composed (2 codepoints for the accent pair)
+NFD_E = "café"  # e + combining acute (decomposed)
+
+CASES["nfc_nfd_distinct"] = _case(
+    # keys are exact code-point sequences: NFC and NFD spellings of the same
+    # rendered text are DIFFERENT keys (no implicit normalization — the
+    # reference never normalizes qnames either), while an exact NFD repeat
+    # is a duplicate
+    [("c1", 0, NFC_E, False), ("c1", 1, NFD_E, False), ("c2", 0, NFD_E, True)]
+)
+CASES["zero_width_and_case"] = _case(
+    [
+        ("c1", 0, "abc", False),
+        ("c1", 1, "abc​", False),  # zero-width space: distinct key
+        ("c1", 2, "ABC", False),  # case-sensitive
+        ("c2", 0, "abc", True),
+    ]
+)
+CASES["crlf_vs_lf"] = _case(
+    [("c1", 0, "line\r\n", False), ("c1", 1, "line\n", False), ("c2", 0, "line\r\n", True)]
+)
+CASES["astral_plane"] = _case(
+    # 4-byte UTF-8 (surrogate-pair territory in UTF-16 engines)
+    [("c1", 0, "\U0001f600\U0001f680", False), ("c2", 0, "\U0001f600\U0001f680", True), ("c3", 0, "\U0001f680\U0001f600", False)]
+)
+CASES["whitespace_variants"] = _case(
+    [("c1", 0, " ", False), ("c1", 1, "\t", False), ("c1", 2, "  ", False), ("c2", 0, " ", True)]
+)
+CASES["megabyte_texts"] = _case(
+    # ~1 MB values: key derivation, Bloom hashing and the rank shuffle must
+    # survive values far above the target batch row width; the two big texts
+    # share a 1 MB prefix and differ only in the final byte (distinct keys)
+    [
+        ("c1", 0, "x" * 1_000_000 + "a", False),
+        ("c2", 0, "x" * 1_000_000 + "b", False),
+        ("c3", 0, "x" * 1_000_000 + "a", True),
+    ]
+)
+
+
+@pytest.mark.parametrize("scope_cols", [("text", "conv_id")])
+def test_separator_injection_conversation_scope(ray_session, scope_cols):
+    """Length-prefixed key encoding: ('a#1', 'c') and ('a', '1#c')
+    concatenate identically under a naive '#' join but MUST stay distinct
+    keys (the reference's start/end-pos canonicalization makes the same
+    guarantee for 'chr1|1234'-style keys)."""
+    df = _case(
+        [
+            ("c", 0, "a#1", False),
+            ("1#c", 0, "a", False),
+            ("c", 1, "3:a#1#1:c", False),  # the literal encoded form, also distinct
+        ]
+    )
+    out = (
+        dedup_exact_first(_ds(df), key_cols=scope_cols)
+        .to_pandas()
+        .set_index(["conv_id", "turn_idx"])["is_duplicate"]
+    )
+    assert not out.any(), out
+
+
+def test_null_sentinel_vs_literal_in_secondary_key(ray_session):
+    """A null secondary key column encodes as the '\\x00' sentinel — a
+    LITERAL '\\x00' string in that column must remain a distinct key."""
+    df = _case([("c", 0, "t", False), ("c", 1, "t", False)])
+    df.loc[0, "tool"] = None
+    df.loc[1, "tool"] = "\x00"
+    out = (
+        dedup_exact_first(_ds(df), key_cols=("text", "tool"))
+        .to_pandas()
+        .set_index(["conv_id", "turn_idx"])["is_duplicate"]
+    )
+    assert not out.any(), out
+
+
+# --- validator-rejection goldens (the reference's group-arity abort,
+#     src/markdups.cxx:96-103 behaviour analog) ---
+
+from streammd_ray.stages.dedup import (  # noqa: E402
+    ConversationValidationError,
+    validate_conversations,
+)
+
+
+def _conv_df(rows):
+    """rows: (conv_id, turn_idx, ts_offset_seconds)"""
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "dt"])
+    df["turn_idx"] = df["turn_idx"].astype(np.int32)
+    df["role"] = "user"
+    df["text"] = "t"
+    df["tool"] = None
+    df["ts"] = pd.to_datetime("2025-01-01") + pd.to_timedelta(df.pop("dt"), unit="s")
+    return df
+
+
+VALIDATOR_REJECTS = {
+    "turn_idx_gap": ([("c1", 0, 0), ("c1", 2, 1)], "not contiguous"),
+    "turn_idx_duplicate": ([("c1", 0, 0), ("c1", 0, 1), ("c1", 1, 2)], "not contiguous"),
+    "turn_idx_not_zero_based": ([("c1", 1, 0), ("c1", 2, 1)], "not contiguous"),
+    "ts_decreasing": ([("c1", 0, 5), ("c1", 1, 3)], "not monotone"),
+}
+
+
+@pytest.mark.parametrize("name", sorted(VALIDATOR_REJECTS))
+def test_validator_rejects(ray_session, name):
+    rows, why = VALIDATOR_REJECTS[name]
+    ds = _ds(_conv_df(rows))
+    with pytest.raises(ConversationValidationError, match=why):
+        validate_conversations(ds, num_partitions=4)
+
+
+def test_validator_accepts_valid_and_names_offender(ray_session):
+    ok = _conv_df([("good", 0, 0), ("good", 1, 1), ("also", 0, 0)])
+    validate_conversations(_ds(ok), num_partitions=4)  # no raise
+    mixed = _conv_df(
+        [("good", 0, 0), ("good", 1, 1), ("bad", 0, 0), ("bad", 3, 1)]
+    )
+    with pytest.raises(ConversationValidationError, match="bad"):
+        validate_conversations(_ds(mixed), num_partitions=4)
+
+
+def test_bloom_empty_string_vs_null_path(ray_session):
+    """At the BLOOM path specifically: '' is a real inserted key (its repeat
+    is marked, count_estimate sees it) while nulls never touch the filter
+    (TURNS_NULL_TEXT counted, never marked, not inserted)."""
+    df = _case(
+        [
+            ("c1", 0, "", False),
+            ("c2", 0, None, False),
+            ("c3", 0, None, False),
+            ("c4", 0, "", True),
+        ]
+    )
+    res = mark_duplicates(_ds(df), p=1e-9, num_shards=2, materialize=True)
+    m = compute_metrics(res.marked)
+    assert m["TURNS_MARKED_DUPLICATE"] == 1
+    assert m["TURNS_NULL_TEXT"] == 2
+    got = res.marked.to_pandas().set_index(["conv_id", "turn_idx"])["is_duplicate"]
+    assert bool(got.loc[("c4", 0)]) or bool(got.loc[("c1", 0)])  # one '' marked
+    assert not got.loc[("c2", 0)] and not got.loc[("c3", 0)]
+    # the filter holds exactly ONE distinct key (the empty string): the
+    # merged bit count is a single key's k probes (count_estimate itself is
+    # reference-pinned ceil, /root/reference/src/bloomfilter.cxx:50-51, and
+    # ceils 1.0000007 to 2 — asserted at the bit level instead)
+    f = res.merged_filter()
+    assert 0 < f.count_bits_set() <= f.k
+    res.release()
