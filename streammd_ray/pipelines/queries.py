@@ -561,6 +561,41 @@ FROM transcripts WHERE tool IS NOT NULL
 GROUP BY tool ORDER BY count(*) DESC, tool LIMIT 5"""
 
 
+def q_spacesaving_accuracy(sf_dir: str):
+    """SpaceSaving top-5 tools vs exact: every reported count must bracket
+    the truth (count - err ≤ exact ≤ count) and the per-key error obeys the
+    published ε ≤ N/k bound (Metwally et al. 2005, Thm. 2; bound preserved
+    under merge per Agarwal et al. 2012)."""
+    from ..sketches.spacesaving import SpaceSaving
+    from ..stages.sketch_agg import sketch_column
+
+    exact = q_heavy_tools_exact(sf_dir).to_pandas()
+    ds = transcripts_ds(sf_dir, columns=["tool"])
+    ss = sketch_column(ds, "tool", SpaceSaving(k=64))
+    by_key = {key: (c, e) for key, c, e in ss.top_k()}
+    rows = []
+    for tool, n in zip(exact["tool"], exact["n"]):
+        c, e = by_key.get(tool, (0, 0))
+        rows.append(
+            {
+                "tool": tool,
+                "n": int(n),
+                "tracked": tool in by_key,
+                "brackets_truth": bool(c - e <= n <= c),
+                "err_within_n_over_k": bool(e <= ss.total / ss.k),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def sql_spacesaving_accuracy() -> str:
+    return f"""{T_CTE}
+SELECT tool, count(*) AS n, true AS tracked, true AS brackets_truth,
+       true AS err_within_n_over_k
+FROM transcripts WHERE tool IS NOT NULL
+GROUP BY tool ORDER BY count(*) DESC, tool LIMIT 5"""
+
+
 def q_tdigest_accuracy(sf_dir: str):
     """t-digest quantile estimates checked in RANK space (its native
     guarantee): the true rank of each estimated quantile must sit within
@@ -785,6 +820,149 @@ def q_fingerprint(sf_dir: str):
 
 def sql_fingerprint() -> str:
     return f"SELECT doc_id, {fingerprint_sql()} FROM documents"
+
+
+# --- corpus-level training-data operators (stages/corpus.py) ---------------
+
+# contamination n-gram size: real deployments use 8-13-gram overlap against
+# eval sets; the synthetic corpus's ~40-word vocabulary makes 3-grams the
+# smallest size where the flag is non-trivially split (171/494 docs at
+# sf0.01) while 8-grams never collide. The rule, not the knob, is under test.
+_CONTAM_N = 3
+# corpus-repeat n-gram size (the exact-substring-dedup marking granularity):
+# 4-grams repeat for ~12% of gram occurrences at sf0.01 — a meaningful split.
+_DUPGRAM_N = 4
+# deterministic stand-in for an external eval set: every 97th document
+_BENCH_MOD = 97
+_PACK_LEN = 2048
+
+
+def q_doc_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1):
+    duplicate-line fraction/chars, top-word fraction, duplicate-word
+    fraction — the first-line quality filters of a pretraining pipeline.
+    Stateless vectorized map_batches; no shuffle."""
+    from ..stages.corpus import repetition_stats
+
+    out = _docs(sf_dir).map_batches(
+        repetition_stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return out.select_columns(
+        [
+            "doc_id",
+            "n_lines",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "top_word_frac",
+            "dup_word_frac",
+        ]
+    )
+
+
+def sql_doc_repetition_stats() -> str:
+    from ..stages.corpus import repetition_stats_sql
+
+    return repetition_stats_sql()
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag documents sharing any word n-gram
+    with the (broadcast) benchmark set — here the deterministic subset
+    doc_id % 97 == 0 standing in for an external eval set. The benchmark
+    gram hashes ride the object store once (ray.put); membership is a
+    vectorized searchsorted per batch; no shuffle touches the corpus."""
+    import ray
+
+    from ..stages.corpus import Decontaminate, benchmark_gram_hashes
+
+    def keep(is_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            mod = pc.subtract(
+                t["doc_id"],
+                pc.multiply(
+                    pc.divide(t["doc_id"], _BENCH_MOD),
+                    pa.scalar(_BENCH_MOD, pa.int64()),
+                ),
+            )
+            return t.filter(pc.equal(mod, 0) if is_bench else pc.not_equal(mod, 0))
+
+        return fn
+
+    docs = _docs(sf_dir)
+    bench_docs = docs.map_batches(
+        keep(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    bench = benchmark_gram_hashes(bench_docs, n=_CONTAM_N)
+    ref = ray.put(bench)
+    out = docs.map_batches(
+        keep(False), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        Decontaminate,
+        fn_constructor_kwargs={"bench_ref": ref, "n": _CONTAM_N},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+    return out.select_columns(["doc_id", "contaminated"])
+
+
+def sql_decontaminate() -> str:
+    from ..stages.corpus import ngram_sql_cte
+
+    n = _CONTAM_N
+    return f"""
+WITH {ngram_sql_cte(n)[1:]},
+bench AS (SELECT DISTINCT g FROM grams_{n} WHERE doc_id % {_BENCH_MOD} = 0),
+hits AS (
+  SELECT DISTINCT doc_id FROM grams_{n}
+  WHERE doc_id % {_BENCH_MOD} <> 0 AND g IN (SELECT g FROM bench)
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {_BENCH_MOD} <> 0"""
+
+
+def q_dup_ngram_stats(sf_dir: str):
+    """Corpus-wide repeated n-grams per document — the marking pass of exact
+    substring dedup (Lee et al. 2022) at word granularity. Explode to
+    (doc_id, gram_hash), count grams globally, semi-join occurrences of
+    repeated grams back, count per doc. Only fixed-width columns shuffle."""
+    from ..stages.corpus import dup_ngram_stats
+
+    return dup_ngram_stats(_docs(sf_dir), n=_DUPGRAM_N)
+
+
+def sql_dup_ngram_stats() -> str:
+    from ..stages.corpus import ngram_sql_cte
+
+    n = _DUPGRAM_N
+    return f"""
+WITH {ngram_sql_cte(n)[1:]},
+cnt AS (SELECT g, count(*) AS c FROM grams_{n} GROUP BY g),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_grams,
+         sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS n_repeated
+  FROM grams_{n} JOIN cnt USING (g) GROUP BY doc_id
+)
+SELECT doc_id, n_grams::BIGINT AS n_grams, n_repeated::BIGINT AS n_repeated,
+       round(n_repeated::DOUBLE / greatest(n_grams, 1), 6) AS dup_gram_frac
+FROM per_doc"""
+
+
+def q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing: documents concatenated in doc_id order,
+    cut every 2048 tokens; each doc reports its global token offset and
+    chunk span. Distributed prefix sum (per-bucket partials → tiny driver
+    prefix → per-bucket cumsum via map_groups); the corpus never
+    materializes on the driver."""
+    from ..stages.corpus import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), chunk_len=_PACK_LEN)
+
+
+def sql_pack_sequences() -> str:
+    from ..stages.corpus import pack_sequences_sql
+
+    return pack_sequences_sql(_PACK_LEN)
 
 
 def q_token_count_by_source(sf_dir: str):
@@ -2001,6 +2179,7 @@ QUERIES = {
     "kll_latency_quantiles": q_kll_latency_quantiles,
     "hll_accuracy": q_hll_accuracy,
     "cms_accuracy": q_cms_accuracy,
+    "spacesaving_accuracy": q_spacesaving_accuracy,
     "tdigest_accuracy": q_tdigest_accuracy,
     "kll_accuracy": q_kll_accuracy,
     "embedding_lsh_recall": q_embedding_lsh_recall,
@@ -2008,6 +2187,10 @@ QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "doc_repetition_stats": q_doc_repetition_stats,
+    "decontaminate": q_decontaminate,
+    "dup_ngram_stats": q_dup_ngram_stats,
+    "pack_sequences": q_pack_sequences,
     "token_count_by_source": q_token_count_by_source,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -2056,12 +2239,17 @@ ORACLES = {
     "latency_quantiles_exact": sql_latency_quantiles_exact(),
     "hll_accuracy": sql_hll_accuracy(),
     "cms_accuracy": sql_cms_accuracy(),
+    "spacesaving_accuracy": sql_spacesaving_accuracy(),
     "tdigest_accuracy": sql_tdigest_accuracy(),
     "kll_accuracy": sql_kll_accuracy(),
     "embedding_lsh_recall": sql_embedding_lsh_recall(),
     "ann_recall": sql_ann_recall(),
     "media_decode_bmp": sql_media_decode_bmp(),
     "text_stats": sql_text_stats(),
+    "doc_repetition_stats": sql_doc_repetition_stats(),
+    "decontaminate": sql_decontaminate(),
+    "dup_ngram_stats": sql_dup_ngram_stats(),
+    "pack_sequences": sql_pack_sequences(),
     "lang_id": sql_lang_id(),
     "fingerprint": sql_fingerprint(),
     "token_count_by_source": sql_token_count_by_source(),

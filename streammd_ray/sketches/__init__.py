@@ -8,6 +8,7 @@ from .bloom import BloomFilter, capacity, m_k_min, parse_memspec
 from .cms import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLL
+from .spacesaving import SpaceSaving
 from .tdigest import TDigest
 
 __all__ = [
@@ -21,5 +22,6 @@ __all__ = [
     "CountMinSketch",
     "HyperLogLog",
     "KLL",
+    "SpaceSaving",
     "TDigest",
 ]

@@ -1,0 +1,568 @@
+"""Corpus-level training-data operators: Gopher-style repetition/quality
+signals, benchmark decontamination, corpus-wide repeated-n-gram statistics,
+and GPT-style sequence packing.
+
+These are the operators a 100-TB pretraining pipeline runs between raw
+ingestion and tokenization (the reference engine stops at duplicate marking;
+this module is engine-native breadth in the spirit of SURVEY.md §2.8). Every
+rule is deliberately SQL-expressible so the driver's DuckDB oracle can
+value-check it end to end:
+
+- :func:`repetition_stats` — per-document duplicate-line fraction,
+  duplicate-line character fraction, top-word fraction, duplicate-word
+  fraction (the Gopher repetition filters, Rae et al. 2021 §A1.1, restated
+  over lines/1-grams so both engines compute them exactly).
+- :func:`ngram_hashes` / :class:`Decontaminate` — word-n-gram overlap against
+  a broadcast benchmark set (the standard train/test contamination check;
+  n-gram membership is hashed on the Ray side, string-exact in SQL — equal
+  strings hash equal, and a 64-bit collision at test scale is ~2^-40).
+- :func:`dup_ngram_stats` — for every document, how many of its word n-grams
+  occur more than once in the ENTIRE corpus (the marking pass of exact
+  substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+  Language Models Better", at word granularity): explode → count → semi-join
+  back. Two all-to-all shuffles, both shipping only (int64 hash, doc_id).
+- :func:`pack_sequences` — GPT-style packing: concatenate all documents in
+  doc_id order and cut every ``chunk_len`` tokens; each document reports the
+  global token offset and the chunk span it lands in. Implemented as a
+  distributed prefix sum (per-bucket partials → driver prefix over the tiny
+  bucket table → per-bucket cumsum via ``map_groups``), never materializing
+  the corpus on the driver.
+
+Scale notes: repetition stats and n-gram hashing are stateless vectorized
+``map_batches`` (no shuffle); decontamination broadcasts the (small)
+benchmark hash set once via ``ray.put``; dup_ngram_stats and pack_sequences
+shuffle slim fixed-width columns only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..hashing import hash64_batch
+from .text import _round_half_away, set_column
+
+# non-word split: \W+ on the lowercased text, empties dropped — exactly
+# list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') in DuckDB,
+# i.e. the token sequence regexp_extract_all('\w+') would produce.
+_NONWORD_RE = r"\W+"
+_WORDS_SQL = (
+    "list_filter(string_split_regex(lower({col}), '\\W+'), x -> x <> '')"
+)
+
+
+def _flatten_with_parents(lists: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Flatten a ListArray → (values, parent_row_index). Handles chunked,
+    sliced, and null-entry list arrays via list_value_length (null → 0)."""
+    lens = np.asarray(
+        pc.fill_null(pc.list_value_length(lists), 0), dtype=np.int64
+    )
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parents = np.repeat(np.arange(len(lists), dtype=np.int64), lens)
+    return flat, parents
+
+
+def _as_string(text: pa.Array) -> pa.Array:
+    """Normalize to a string array (all-null / empty columns infer as type
+    'null', which string kernels reject)."""
+    if pa.types.is_null(text.type):
+        return text.cast(pa.string())
+    return text
+
+
+def _words(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """Lowercased word tokens of each row → (flat_words, parent_idx)."""
+    text = _as_string(text)
+    lower = pc.utf8_lower(text)
+    lists = pc.split_pattern_regex(lower, _NONWORD_RE)
+    flat, parents = _flatten_with_parents(lists)
+    if len(flat):
+        keep = np.asarray(pc.utf8_length(flat)) > 0
+        if not keep.all():
+            flat = flat.filter(pa.array(keep))
+            parents = parents[keep]
+    return flat, parents
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition statistics
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    batch: pa.Table, *, col: str = "text", id_col: str | None = None
+) -> pa.Table:
+    """Append per-document repetition signals (all stateless → no shuffle):
+
+    - ``n_lines``: segments of a split on ``\\n`` (SQL ``string_split``).
+    - ``dup_line_frac``: line occurrences beyond each line's first, over all
+      line occurrences.
+    - ``dup_line_char_frac``: characters in those repeated occurrences, over
+      all line characters (0 when the doc has no characters).
+    - ``top_word_frac``: occurrences of the most frequent word over all word
+      occurrences (0 when the doc has no words).
+    - ``dup_word_frac``: word occurrences beyond each word's first.
+
+    Null text → null stats. Ratios rounded half-away to 6 dp to match SQL
+    ``round(x, 6)``. The equivalent DuckDB SQL is :func:`repetition_stats_sql`.
+    """
+    text = batch[col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = _as_string(text)
+    n = len(text)
+    null = (
+        np.asarray(pc.is_null(text)) if n else np.zeros(0, bool)
+    )
+
+    # --- lines -------------------------------------------------------------
+    line_lists = pc.split_pattern(text, "\n")
+    lines, line_doc = _flatten_with_parents(line_lists)
+    n_lines = np.asarray(
+        pc.fill_null(pc.list_value_length(line_lists), 0), dtype=np.int64
+    )
+    line_len = (
+        np.asarray(pc.utf8_length(lines), dtype=np.int64)
+        if len(lines)
+        else np.zeros(0, np.int64)
+    )
+    dup_line = np.zeros(n, np.float64)
+    dup_line_char = np.zeros(n, np.float64)
+    if len(lines):
+        lh = hash64_batch(lines)
+        order = np.lexsort((lh, line_doc))
+        sd, sh, sl = line_doc[order], lh[order], line_len[order]
+        first = np.empty(len(sh), bool)
+        first[0] = True
+        first[1:] = (sh[1:] != sh[:-1]) | (sd[1:] != sd[:-1])
+        rep = ~first
+        dup_cnt = np.bincount(sd[rep], minlength=n).astype(np.float64)
+        dup_chars = np.bincount(
+            sd[rep], weights=sl[rep].astype(np.float64), minlength=n
+        )
+        tot_chars = np.bincount(
+            line_doc, weights=line_len.astype(np.float64), minlength=n
+        )
+        dup_line = dup_cnt / np.maximum(n_lines, 1)
+        dup_line_char = dup_chars / np.maximum(tot_chars, 1.0)
+
+    # --- words -------------------------------------------------------------
+    words, word_doc = _words(text)
+    n_words = np.bincount(word_doc, minlength=n).astype(np.int64)
+    top_word = np.zeros(n, np.float64)
+    dup_word = np.zeros(n, np.float64)
+    if len(words):
+        wh = hash64_batch(words)
+        order = np.lexsort((wh, word_doc))
+        sd, sh = word_doc[order], wh[order]
+        first = np.empty(len(sh), bool)
+        first[0] = True
+        first[1:] = (sh[1:] != sh[:-1]) | (sd[1:] != sd[:-1])
+        run_starts = np.flatnonzero(first)
+        run_lens = np.diff(np.append(run_starts, len(sh)))
+        run_doc = sd[run_starts]
+        doc_first = np.empty(len(run_doc), bool)
+        if len(run_doc):
+            doc_first[0] = True
+            doc_first[1:] = run_doc[1:] != run_doc[:-1]
+            doc_starts = np.flatnonzero(doc_first)
+            max_per = np.maximum.reduceat(run_lens, doc_starts)
+            top_word[run_doc[doc_starts]] = max_per
+        rep_cnt = np.bincount(sd[~first], minlength=n).astype(np.float64)
+        denom = np.maximum(n_words, 1).astype(np.float64)
+        top_word = top_word / denom
+        dup_word = rep_cnt / denom
+
+    def col_of(arr, typ):
+        a = pa.array(arr, typ)
+        if null.any():
+            a = pc.if_else(pa.array(null), pa.scalar(None, typ), a)
+        return a
+
+    out = batch
+    for name, arr, typ in [
+        ("n_lines", n_lines, pa.int64()),
+        ("dup_line_frac", _round_half_away(dup_line, 6), pa.float64()),
+        (
+            "dup_line_char_frac",
+            _round_half_away(dup_line_char, 6),
+            pa.float64(),
+        ),
+        ("top_word_frac", _round_half_away(top_word, 6), pa.float64()),
+        ("dup_word_frac", _round_half_away(dup_word, 6), pa.float64()),
+    ]:
+        out = set_column(out, name, col_of(arr, typ))
+    return out
+
+
+def repetition_stats_sql(table: str = "documents", col: str = "text") -> str:
+    """DuckDB query matching :func:`repetition_stats` column-for-column,
+    keyed by doc_id (assumes ``table`` carries doc_id + ``col``)."""
+    words = _WORDS_SQL.format(col="text")
+    return f"""
+WITH base AS (SELECT doc_id, {col} AS text FROM {table}),
+lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+  FROM base WHERE text IS NOT NULL
+),
+lg AS (
+  SELECT doc_id, line, count(*) AS c, length(line) AS l
+  FROM lines GROUP BY doc_id, line
+),
+line_stats AS (
+  SELECT doc_id,
+         sum(c)::BIGINT AS n_lines,
+         sum(c - 1)::DOUBLE / greatest(sum(c), 1) AS dup_line_frac,
+         sum((c - 1) * l)::DOUBLE / greatest(sum(c * l), 1) AS dup_line_char_frac
+  FROM lg GROUP BY doc_id
+),
+wrds AS (
+  SELECT doc_id, unnest({words}) AS w
+  FROM base WHERE text IS NOT NULL
+),
+wg AS (SELECT doc_id, w, count(*) AS c FROM wrds GROUP BY doc_id, w),
+word_stats AS (
+  SELECT doc_id,
+         max(c)::DOUBLE / greatest(sum(c), 1) AS top_word_frac,
+         sum(c - 1)::DOUBLE / greatest(sum(c), 1) AS dup_word_frac
+  FROM wg GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CASE WHEN b.text IS NULL THEN NULL ELSE ls.n_lines END AS n_lines,
+       CASE WHEN b.text IS NULL THEN NULL ELSE round(ls.dup_line_frac, 6) END AS dup_line_frac,
+       CASE WHEN b.text IS NULL THEN NULL ELSE round(ls.dup_line_char_frac, 6) END AS dup_line_char_frac,
+       CASE WHEN b.text IS NULL THEN NULL ELSE round(coalesce(ws.top_word_frac, 0), 6) END AS top_word_frac,
+       CASE WHEN b.text IS NULL THEN NULL ELSE round(coalesce(ws.dup_word_frac, 0), 6) END AS dup_word_frac
+FROM base b
+LEFT JOIN line_stats ls USING (doc_id)
+LEFT JOIN word_stats ws USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram hashing (shared by decontamination + dup-ngram stats)
+# ---------------------------------------------------------------------------
+
+
+def ngram_hashes(
+    text: pa.Array, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(gram_hash_u64, parent_row_idx) for every word ``n``-gram of every row.
+
+    The gram string is the ``' '``-join of ``n`` consecutive lowercased word
+    tokens — byte-identical to the SQL ``string_agg(w, ' ') OVER (... ROWS
+    BETWEEN CURRENT ROW AND n-1 FOLLOWING)`` construction, so hash equality
+    mirrors SQL string equality. Fully vectorized: one split, one
+    element-wise join of ``n`` shifted views, one batch hash.
+    """
+    words, parents = _words(text)
+    total = len(words)
+    if total == 0 or total < n:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    # gram starting at i is valid iff all n words share i's parent row
+    valid = parents[: total - n + 1] == parents[n - 1 :]
+    shifted = [words.slice(j, total - n + 1) for j in range(n)]
+    grams = pc.binary_join_element_wise(*shifted, " ")
+    h = hash64_batch(grams)
+    return h[valid], parents[: total - n + 1][valid]
+
+
+def ngram_sql_cte(
+    n: int, table: str = "documents", col: str = "text"
+) -> str:
+    """CTE body producing (doc_id, g) — every word ``n``-gram per document —
+    the exact SQL twin of :func:`ngram_hashes` (strings, not hashes)."""
+    words = _WORDS_SQL.format(col=col)
+    return f"""
+w_{n} AS (
+  SELECT doc_id, unnest({words}) AS w,
+         generate_subscripts({words}, 1) AS pos
+  FROM {table} WHERE {col} IS NOT NULL
+),
+g_{n} AS (
+  SELECT doc_id,
+         string_agg(w, ' ') OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS g,
+         count(*) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS gn
+  FROM w_{n}
+),
+grams_{n} AS (SELECT doc_id, g FROM g_{n} WHERE gn = {n})"""
+
+
+# ---------------------------------------------------------------------------
+# Decontamination (benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+class Decontaminate:
+    """Actor-pool stage: flag rows sharing any word n-gram with a broadcast
+    benchmark set. The benchmark hash array rides the object store ONCE
+    (``ray.put`` by the caller, ``ray.get`` here in ``__init__`` — once per
+    actor, never per batch); membership is a vectorized ``searchsorted``.
+    """
+
+    def __init__(self, bench_ref, *, n: int, col: str = "text", out: str = "contaminated"):
+        import ray
+
+        bench = ray.get(bench_ref) if not isinstance(bench_ref, np.ndarray) else bench_ref
+        self.bench = np.sort(np.asarray(bench, dtype=np.uint64))
+        self.n = int(n)
+        self.col = col
+        self.out = out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        hits = np.zeros(len(batch), bool)
+        h, parents = ngram_hashes(text, self.n)
+        if len(h) and len(self.bench):
+            pos = np.searchsorted(self.bench, h)
+            pos[pos == len(self.bench)] = len(self.bench) - 1
+            member = self.bench[pos] == h
+            if member.any():
+                hits[np.unique(parents[member])] = True
+        return set_column(batch, self.out, pa.array(hits, pa.bool_()))
+
+
+def benchmark_gram_hashes(ds, *, n: int, col: str = "text") -> np.ndarray:
+    """Collect the distinct n-gram hashes of a (small) benchmark dataset to
+    the driver — the broadcast side of decontamination. Benchmark/eval sets
+    are KBs-to-MBs even when the corpus is 100 TB, so a driver collect of the
+    distinct uint64 hashes is the right shape (it is the same small side a
+    broadcast join would ship)."""
+
+    def grams(t: pa.Table) -> pa.Table:
+        text = t[col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h, _ = ngram_hashes(text, n)
+        return pa.table({"h": pa.array(np.unique(h), pa.uint64())})
+
+    parts = ds.map_batches(grams, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = parts.to_arrow_refs()
+    import ray
+
+    arrs = [
+        np.asarray(t["h"].combine_chunks(), dtype=np.uint64)
+        for t in ray.get(tbl)
+        if t.num_rows
+    ]
+    if not arrs:
+        return np.zeros(0, np.uint64)
+    return np.unique(np.concatenate(arrs))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-wide repeated n-grams (exact-substring-dedup marking pass)
+# ---------------------------------------------------------------------------
+
+
+def dup_ngram_stats(ds, *, n: int, id_col: str = "doc_id", col: str = "text"):
+    """Per-document corpus-repeat statistics: of the document's word
+    ``n``-grams, how many occur more than once in the WHOLE corpus.
+
+    Returns a Dataset (id_col, n_grams, n_repeated, dup_gram_frac). The
+    distributed shape is the published one (Lee et al. 2022 §4, restated on
+    Ray Data): explode to (doc_id, hash) — fixed-width, no text ships —
+    then (1) groupby(hash) count to find repeated grams, (2) semi-join the
+    exploded grams against them, (3) groupby(doc) counts. Null/short texts
+    yield zero grams and report 0 fractions.
+    """
+    from ray.data.aggregate import Count
+
+    from ..context import auto_num_partitions, drop_empty_blocks
+
+    def explode(t: pa.Table) -> pa.Table:
+        text = t[col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h, parents = ngram_hashes(text, n)
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[parents], pa.int64()),
+                # int64 view: Dataset joins/groupbys on int64 are the engine's
+                # best-tested path; the bit pattern is what matters
+                "h": pa.array(h.view(np.int64), pa.int64()),
+            }
+        )
+
+    nparts = auto_num_partitions()
+    exploded = ds.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # consumed 3x below; blocks stay in the object store
+
+    totals = exploded.groupby(id_col).aggregate(Count(alias_name="n_grams"))
+    totals = drop_empty_blocks(
+        totals, pa.schema([(id_col, pa.int64()), ("n_grams", pa.int64())])
+    )
+
+    rep = exploded.groupby("h").aggregate(Count(alias_name="c"))
+    rep = drop_empty_blocks(
+        rep, pa.schema([("h", pa.int64()), ("c", pa.int64())])
+    ).filter(expr="c > 1")
+
+    hits = exploded.join(
+        rep.select_columns(["h"]),
+        "left_semi",
+        num_partitions=nparts,
+        on=("h",),
+    )
+    hit_counts = hits.groupby(id_col).aggregate(Count(alias_name="n_repeated"))
+    hit_counts = drop_empty_blocks(
+        hit_counts, pa.schema([(id_col, pa.int64()), ("n_repeated", pa.int64())])
+    )
+
+    joined = totals.join(
+        hit_counts, "left_outer", num_partitions=nparts, on=(id_col,)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_grams = np.asarray(pc.fill_null(t["n_grams"], 0), dtype=np.int64)
+        n_rep = np.asarray(pc.fill_null(t["n_repeated"], 0), dtype=np.int64)
+        frac = _round_half_away(
+            n_rep / np.maximum(n_grams, 1).astype(np.float64), 6
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_repeated": pa.array(n_rep, pa.int64()),
+                "dup_gram_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# GPT-style sequence packing (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+# fixed bucket granularity for the prefix sum: dense int ids → ≤65536 docs
+# per bucket regardless of corpus size; at 100 TB this yields millions of
+# small buckets (fine — the bucket-sum table is 16 bytes each) rather than
+# few huge ones.
+PACK_BUCKET = 65536
+
+
+def pack_sequences(
+    ds,
+    *,
+    chunk_len: int = 2048,
+    id_col: str = "doc_id",
+    col: str = "text",
+    token_re: str = r"\S+",
+):
+    """Assign each document its global token offset and training-chunk span
+    under GPT-style packing: all documents concatenated in ``id_col`` order,
+    cut every ``chunk_len`` tokens.
+
+    Returns (id_col, n_tokens, tok_start, chunk_first, chunk_last) for
+    documents with ≥1 token and non-null text. Distributed prefix sum:
+
+    1. one vectorized pass → (bucket = id // PACK_BUCKET, n_tokens) rows;
+    2. groupby(bucket).sum → tiny table → exclusive prefix on the driver
+       (bytes ∝ #buckets, not #docs);
+    3. ``groupby(bucket).map_groups``: sort the bucket by id, cumsum, add
+       the bucket's offset — each bucket is independent, so the wide step
+       is an ordinary hash shuffle, not a global sort.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..context import drop_empty_blocks
+
+    def tokens(t: pa.Table) -> pa.Table:
+        text = t[col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        cnt = np.asarray(
+            pc.fill_null(pc.count_substring_regex(text, token_re), 0),
+            dtype=np.int64,
+        )
+        cnt[np.asarray(pc.is_null(text))] = 0
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(cnt, pa.int64()),
+                "bucket": pa.array(ids // PACK_BUCKET, pa.int64()),
+            }
+        )
+
+    toks = ds.map_batches(
+        tokens, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    bucket_sums = toks.groupby("bucket").aggregate(
+        Sum("n_tokens", alias_name="bucket_tokens")
+    )
+    bucket_sums = drop_empty_blocks(
+        bucket_sums,
+        pa.schema([("bucket", pa.int64()), ("bucket_tokens", pa.int64())]),
+    )
+    bs = bucket_sums.to_pandas().sort_values("bucket")
+    bucket_ids = np.ascontiguousarray(bs["bucket"].to_numpy(), dtype=np.int64)
+    bucket_offs = np.concatenate(
+        [[0], np.cumsum(bs["bucket_tokens"].to_numpy(dtype=np.int64))[:-1]]
+    )
+    # numpy arrays are zero-copy out of the object store; a dict would
+    # re-deserialize per map_groups call
+    offsets_ref = ray.put((bucket_ids, bucket_offs))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        b_ids, b_offs = ray.get(offsets_ref)
+        ids = np.asarray(g[id_col], dtype=np.int64)
+        nt = np.asarray(g["n_tokens"], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, nt = ids[order], nt[order]
+        bucket_off = b_offs[np.searchsorted(b_ids, ids[0] // PACK_BUCKET)]
+        start = bucket_off + np.concatenate([[0], np.cumsum(nt)[:-1]])
+        keep = nt > 0
+        ids, nt, start = ids[keep], nt[keep], start[keep]
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(nt, pa.int64()),
+                "tok_start": pa.array(start, pa.int64()),
+                "chunk_first": pa.array(start // chunk_len, pa.int64()),
+                "chunk_last": pa.array(
+                    (start + nt - 1) // chunk_len, pa.int64()
+                ),
+            }
+        )
+
+    return toks.groupby("bucket").map_groups(
+        per_bucket, batch_format="pyarrow"
+    )
+
+
+def pack_sequences_sql(
+    chunk_len: int = 2048, table: str = "documents", col: str = "text"
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` (window cumsum)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         coalesce(length(regexp_extract_all({col}, '\\S+')), 0) AS n_tokens
+  FROM {table} WHERE {col} IS NOT NULL
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tok_start
+  FROM toks
+)
+SELECT doc_id, n_tokens, tok_start,
+       tok_start // {chunk_len} AS chunk_first,
+       (tok_start + n_tokens - 1) // {chunk_len} AS chunk_last
+FROM c WHERE n_tokens > 0"""
