@@ -81,6 +81,37 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
+def _ensure_light(src_dir: str) -> str:
+    """Payload-light derivative of a transcripts table: the dedup-key hash
+    pair + turn length + the sketch keys, TEXT DROPPED (~28 fixed bytes/row
+    vs ~350 with the text payload). Used by the scaling run to decouple the
+    single-socket memory-bandwidth ceiling from engine scaling — 8→32 cores
+    of one socket cannot quadruple DRAM bandwidth the way 4x real nodes do,
+    so the full-payload pair under-reports cluster scaling (BASELINE.md)."""
+    out = src_dir + "-light"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from streammd_ray.stages.dedup import add_key_columns
+
+        ds = rd.read_parquet(src_dir, columns=["conv_id", "text", "tool"])
+
+        def slim(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__len",
+                pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+            ).drop_columns(["text"])
+
+        add_key_columns(ds, ("text",)).map_batches(
+            slim, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(out)
+        open(marker, "w").write("ok")
+    return out
+
+
 def _num_blocks(ncpu: int, n_files: int, n_turns: int) -> int:
     # keep fused read+mark blocks near 500K rows: bigger blocks (≥1M rows of
     # text) cause allocator/GC churn in the task heap (measured 2x slowdown
@@ -101,9 +132,15 @@ def headline(
     # (conv_id, text, tool). num_blocks ≤ n_files keeps ReadParquet fused
     # with the whole map chain (no SplitBlocks → no object-store hop for
     # the decoded text).
+    light = bool(os.environ.get("BENCH_LIGHT_CHILD"))
+    columns = (
+        ["conv_id", "tool", "__key_h1", "__key_h2", "__len"]
+        if light
+        else ["conv_id", "text", "tool"]
+    )
     ds = rd.read_parquet(
         data_dir or ensure_bench_data(),
-        columns=["conv_id", "text", "tool"],
+        columns=columns,
         override_num_blocks=num_blocks,
     )
     out = run_flagship(
@@ -204,6 +241,8 @@ def single_run(include_queries: bool = True) -> dict:
         else:
             n_files = 64
             data_dir = _ensure(BENCH_TURNS, n_files)
+        if os.environ.get("BENCH_LIGHT_CHILD"):
+            data_dir = _ensure_light(data_dir)
         _warm_page_cache(data_dir)
 
         num_shards = max(4, NUM_CPUS // 2)
@@ -253,13 +292,15 @@ def scaling() -> dict:
     32-CPU level saturates the single socket's memory bandwidth that 4 real
     nodes would not share (decomposition in BASELINE.md)."""
 
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int, light: bool = False) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_NO_QUERIES="1",
             BENCH_SCALING_CHILD="1",
         )
+        if light:
+            env["BENCH_LIGHT_CHILD"] = "1"
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -270,13 +311,14 @@ def scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # pre-generate the (larger) scaling table once, in-process, with Ray
+    # pre-generate the (larger) scaling table + its payload-light derivative
+    # once, in-process, with Ray
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
-    _ensure(SCALING_TURNS, 256)
+    _ensure_light(_ensure(SCALING_TURNS, 256))
     ray.shutdown()
 
     results = {c: run(c) for c in (4, 16, 8, 32)}
@@ -290,6 +332,17 @@ def scaling() -> dict:
             "turns_per_sec_hi": results[hi]["turns_per_sec"],
             "efficiency": round((t_lo / t_hi) / (hi / lo), 3),
         }
+    # payload-light 8→32: same job, same rows, text payload replaced by the
+    # precomputed key hashes + lengths — removes the single-socket DRAM-
+    # bandwidth ceiling that confounds the full-payload 8→32 pair
+    light = {c: run(c, light=True) for c in (8, 32)}
+    pairs["8_to_32_light"] = {
+        "sec_lo": light[8]["value"],
+        "sec_hi": light[32]["value"],
+        "turns_per_sec_lo": light[8]["turns_per_sec"],
+        "turns_per_sec_hi": light[32]["turns_per_sec"],
+        "efficiency": round((light[8]["value"] / light[32]["value"]) / 4.0, 3),
+    }
     return {
         "metric": "scaling_efficiency",
         "turns": results[32]["turns"],
@@ -298,6 +351,7 @@ def scaling() -> dict:
         # pair on one socket under-reports what 4 real nodes would deliver
         "scaling_efficiency": pairs["4_to_16"]["efficiency"],
         "scaling_efficiency_8_32": pairs["8_to_32"]["efficiency"],
+        "scaling_efficiency_8_32_light": pairs["8_to_32_light"]["efficiency"],
     }
 
 

@@ -99,9 +99,16 @@ class SketchTail:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.output_dir is not None:
             self._write_part(batch)
-        lens = pc.cast(
-            pc.fill_null(pc.utf8_length(batch[self.text_col]), 0), pa.float64()
-        ).to_numpy(zero_copy_only=False)
+        # payload-light inputs carry a precomputed '__len' (null where the
+        # text was null) instead of the text column itself
+        len_src = (
+            batch["__len"]
+            if self.text_col not in batch.column_names
+            else pc.utf8_length(batch[self.text_col])
+        )
+        lens = pc.cast(pc.fill_null(len_src, 0), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
         names, states = [], []
         for name, (col, proto) in self.protos.items():
             sk = pickle.loads(pickle.dumps(proto))
@@ -113,9 +120,12 @@ class SketchTail:
             states.append(sk.to_bytes())
         names.append("__counts")
         n_dups = int(pc.sum(pc.cast(batch[self.mark_col], "int64")).as_py() or 0)
-        n_null = int(
-            pc.sum(pc.cast(pc.is_null(batch[self.text_col]), "int64")).as_py() or 0
+        null_src = (
+            batch["__len"]
+            if self.text_col not in batch.column_names
+            else batch[self.text_col]
         )
+        n_null = int(pc.sum(pc.cast(pc.is_null(null_src), "int64")).as_py() or 0)
         states.append(pickle.dumps((len(batch), n_dups, n_null)))
         return pa.table(
             {

@@ -948,6 +948,91 @@ SELECT doc_id, n_grams::BIGINT AS n_grams, n_repeated::BIGINT AS n_repeated,
 FROM per_doc"""
 
 
+# clean-corpus thresholds: median-ish splits of the synthetic corpus so every
+# rule is non-trivially exercised (quality q50≈0.39, dup_word_frac q50≈0.54,
+# lang 'en' 382/500, prefix-32 key → 24 exact dups at sf0.01)
+_CLEAN_MIN_QUALITY = 0.35
+_CLEAN_MAX_DUP_WORD = 0.6
+_CLEAN_PREFIX = 32
+
+
+def q_clean_corpus(sf_dir: str):
+    """The canonical pretraining cleaning pipeline COMPOSED end-to-end
+    (C4/Gopher shape): quality score → language ID → repetition filter →
+    exact first-seen dedup on a normalized content prefix, keeping the
+    lowest doc_id. Every stage is the engine's own operator (text_stats,
+    lang_id, repetition_stats, dedup_exact_first) running in one streaming
+    plan; only the dedup step shuffles, and it ships hashes + rank only."""
+    from ..stages.corpus import repetition_stats
+
+    ds = (
+        _docs(sf_dir)
+        .map_batches(text_stats, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(lang_id, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            repetition_stats, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def keep_and_key(t: pa.Table) -> pa.Table:
+        mask = pc.and_kleene(
+            pc.and_kleene(
+                pc.greater_equal(t["quality"], _CLEAN_MIN_QUALITY),
+                pc.equal(t["lang_pred"], "en"),
+            ),
+            pc.less_equal(t["dup_word_frac"], _CLEAN_MAX_DUP_WORD),
+        )
+        t = t.filter(pc.fill_null(mask, False))
+        norm = pc.replace_substring_regex(
+            pc.utf8_lower(t["text"].combine_chunks()), r"\s+", " "
+        )
+        ck = pc.utf8_slice_codeunits(norm, 0, _CLEAN_PREFIX)
+        return (
+            t.select(["doc_id", "quality"])
+            .append_column("__ck", ck)
+            # constant first order col → the rank string reduces to the
+            # zero-padded doc_id, i.e. numeric order
+            .append_column("__c", pa.array([""] * len(t), pa.string()))
+        )
+
+    keyed = ds.map_batches(
+        keep_and_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+    marked = dedup_exact_first(
+        keyed, key_cols=("__ck",), order_cols=("__c", "doc_id")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.invert(t["is_duplicate"].combine_chunks())
+        )
+        return t.select(["doc_id", "quality"])
+
+    return marked.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sql_clean_corpus() -> str:
+    from ..stages.corpus import repetition_stats_sql
+
+    stats_cols = ", ".join(text_stats_sql())
+    return f"""
+WITH s AS (SELECT doc_id, text, {stats_cols}, {lang_id_sql()} FROM documents),
+rep AS ({repetition_stats_sql()}),
+f AS (
+  SELECT s.doc_id, s.quality,
+         substr(regexp_replace(lower(s.text), '\\s+', ' ', 'g'), 1, {_CLEAN_PREFIX}) AS ck
+  FROM s JOIN rep USING (doc_id)
+  WHERE s.quality >= {_CLEAN_MIN_QUALITY} AND s.lang_pred = 'en'
+        AND rep.dup_word_frac <= {_CLEAN_MAX_DUP_WORD}
+),
+d AS (
+  SELECT doc_id, quality,
+         row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn
+  FROM f
+)
+SELECT doc_id, quality FROM d WHERE rn = 1"""
+
+
 def q_pack_sequences(sf_dir: str):
     """GPT-style sequence packing: documents concatenated in doc_id order,
     cut every 2048 tokens; each doc reports its global token offset and
@@ -2191,6 +2276,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "dup_ngram_stats": q_dup_ngram_stats,
     "pack_sequences": q_pack_sequences,
+    "clean_corpus": q_clean_corpus,
     "token_count_by_source": q_token_count_by_source,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -2250,6 +2336,7 @@ ORACLES = {
     "decontaminate": sql_decontaminate(),
     "dup_ngram_stats": sql_dup_ngram_stats(),
     "pack_sequences": sql_pack_sequences(),
+    "clean_corpus": sql_clean_corpus(),
     "lang_id": sql_lang_id(),
     "fingerprint": sql_fingerprint(),
     "token_count_by_source": sql_token_count_by_source(),

@@ -79,9 +79,16 @@ def add_key_columns(
     *,
     seeds: tuple[int, int] = (SEED_A, SEED_B),
 ):
-    """Append the (h1, h2) dedup-key hash columns (uint64; 0 = null key)."""
+    """Append the (h1, h2) dedup-key hash columns (uint64; 0 = null key).
+
+    Batches that already carry the key columns pass through unchanged —
+    this lets a pipeline run over a pre-hashed table (e.g. a payload-light
+    derivative where the text column was dropped after hashing) without a
+    separate code path."""
 
     def derive(batch: pa.Table) -> pa.Table:
+        if KEY_H1 in batch.column_names and KEY_H2 in batch.column_names:
+            return batch
         key = canonical_key(batch, key_cols)
         h1, h2 = hash_pair_batch(key, *seeds)
         null_mask = np.asarray(pc.is_null(key))
