@@ -81,6 +81,74 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
+SCALING_LIGHT_TURNS = int(os.environ.get("SCALING_LIGHT_TURNS", "512000000"))
+
+
+def _ensure_light_direct(n_turns: int, n_shards: int = 256) -> str:
+    """Payload-light table synthesized DIRECTLY at scale: each Ray task
+    generates its transcript shard (same generator, same distribution as the
+    full table), hashes the text, and writes only the fixed-width light
+    columns — the 160 GB text intermediate never exists on disk. 512M rows
+    (8x the full-payload scaling table) keeps the light 8→32 pair
+    compute-dominated: at 64M rows the job finishes in ~9 s at 32 CPUs and
+    the ~5 s parallelism-independent floor (actor spawn sync, driver
+    partial-merge, read-task floor) swamps the ratio — a floor any real
+    hours-long 100-TB job amortizes to nothing."""
+    out = f"/tmp/streammd_bench/light-{n_turns}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray
+
+        from streammd_ray.sources.transcripts import generate_transcripts
+        from streammd_ray.stages.dedup import add_key_columns  # noqa: F401
+        from streammd_ray.stages.dedup import KEY_H1, KEY_H2
+        from streammd_ray.hashing import hash_pair_batch
+        import numpy as np
+        import pyarrow as pa
+
+        per = n_turns // n_shards
+
+        @ray.remote(num_cpus=1)
+        def gen_light_shard(shard: int) -> str:
+            import tempfile
+
+            tmp = tempfile.mkdtemp(prefix=f"genl{shard}-", dir="/tmp")
+            generate_transcripts(
+                tmp, n_turns=per, seed=42 + shard, dup_frac=0.25, n_files=1
+            )
+            src = os.path.join(tmp, "part-00000.parquet")
+            t = pq.read_table(src, columns=["conv_id", "text", "tool"])
+            os.remove(src)
+            conv = pc.binary_join_element_wise(
+                pa.array([f"s{shard:03d}-"] * len(t), pa.string()),
+                t["conv_id"].combine_chunks(),
+                "",
+            )
+            text = t["text"].combine_chunks()
+            h1, h2 = hash_pair_batch(text)
+            h1 = h1.copy()
+            h1[np.asarray(pc.is_null(text))] = 0
+            light = pa.table(
+                {
+                    "conv_id": conv,
+                    "tool": t["tool"],
+                    KEY_H1: pa.array(h1.view(np.int64), pa.int64()),
+                    KEY_H2: pa.array(h2.view(np.int64), pa.int64()),
+                    "__len": pc.cast(pc.utf8_length(text), pa.int64()),
+                }
+            )
+            dst = os.path.join(out, f"part-{shard:05d}.parquet")
+            pq.write_table(light, dst)
+            return dst
+
+        os.makedirs(out, exist_ok=True)
+        ray.get([gen_light_shard.remote(i) for i in range(n_shards)])
+        open(marker, "w").write("ok")
+    return out
+
+
 def _ensure_light(src_dir: str) -> str:
     """Payload-light derivative of a transcripts table: the dedup-key hash
     pair + turn length + the sketch keys, TEXT DROPPED (~28 fixed bytes/row
@@ -146,14 +214,27 @@ def headline(
     out = run_flagship(
         ds,
         p=1e-6,
-        mem="256MiB",
+        mem=os.environ.get("BENCH_BLOOM_MEM", "256MiB"),
         num_shards=num_shards,
         batch_size=None,
         shards=shards,
     )
+    # surface the capacity report: a shard past capacity silently inflates
+    # dups via FPR (observed: 256MiB shards at 403M keys marked 139M "dups"
+    # against 98.7M exact) — make the fill fraction part of every bench line
+    cap = out.mark.check_capacity(allow_overcapacity=True)
+    fill = round(cap["n_added"] / max(cap["capacity"], 1), 3)
+    if cap["overcapacity_shards"]:
+        print(
+            f"WARNING: {cap['overcapacity_shards']} Bloom shards over capacity "
+            f"(fill {fill}, max marginal FPR {cap['max_marginal_fpr']:.3g}) — "
+            "dups_marked is inflated; raise BENCH_BLOOM_MEM",
+            file=sys.stderr,
+        )
     return {
         "turns": out.counters["turns"],
         "dups_marked": out.counters["dups"],
+        "bloom_fill": fill,
         "convs_est": round(out.sketches["convs_hll"].estimate()),
         "top_tool": (out.sketches["tools_cms"].top_k(1) or [(None, 0)])[0][0],
         "len_p50": round(float(out.sketches["len_tdigest"].quantile(0.5)), 2),
@@ -235,14 +316,21 @@ def single_run(include_queries: bool = True) -> dict:
         DataContext.get_current().enable_progress_bars = False
 
         scaling_child = os.environ.get("BENCH_SCALING_CHILD")
-        if scaling_child:
+        light_child = os.environ.get("BENCH_LIGHT_CHILD")
+        if scaling_child and light_child:
+            # the light scaling pair runs 8x the rows so the scalable compute
+            # dominates the fixed per-job floor (see _ensure_light_direct);
+            # 250K-row generator shards (the sweet spot) → 2048 part files
+            n_files = 2048
+            data_dir = _ensure_light_direct(SCALING_LIGHT_TURNS, n_files)
+        elif scaling_child:
             n_files = 256
             data_dir = _ensure(SCALING_TURNS, n_files)
         else:
             n_files = 64
             data_dir = _ensure(BENCH_TURNS, n_files)
-        if os.environ.get("BENCH_LIGHT_CHILD"):
-            data_dir = _ensure_light(data_dir)
+            if light_child:
+                data_dir = _ensure_light(data_dir)
         _warm_page_cache(data_dir)
 
         num_shards = max(4, NUM_CPUS // 2)
@@ -253,12 +341,19 @@ def single_run(include_queries: bool = True) -> dict:
         # the timed pass measures the data plane, not process startup.
         from streammd_ray.stages.dedup import make_shard_actors
 
-        n_turns = SCALING_TURNS if scaling_child else BENCH_TURNS
+        if scaling_child and light_child:
+            n_turns = SCALING_LIGHT_TURNS
+        elif scaling_child:
+            n_turns = SCALING_TURNS
+        else:
+            n_turns = BENCH_TURNS
         nb = _num_blocks(NUM_CPUS, n_files, n_turns)
         reps = int(os.environ.get("BENCH_REPS", "2"))
         times, summary = [], None
         for _ in range(reps):
-            shards = make_shard_actors(num_shards, p=1e-6, mem="256MiB")
+            shards = make_shard_actors(
+                num_shards, p=1e-6, mem=os.environ.get("BENCH_BLOOM_MEM", "256MiB")
+            )
             ray.get([s.stats.remote() for s in shards])
             t_head, summary = timed(
                 lambda: headline(num_shards, data_dir, shards, num_blocks=nb)
@@ -301,6 +396,9 @@ def scaling() -> dict:
         )
         if light:
             env["BENCH_LIGHT_CHILD"] = "1"
+            # 512M rows ~= 384M distinct keys: size shards so every level's
+            # total capacity (num_shards x capacity(p, mem)) stays above it
+            env.setdefault("BENCH_BLOOM_MEM", "1GiB")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -318,7 +416,8 @@ def scaling() -> dict:
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
-    _ensure_light(_ensure(SCALING_TURNS, 256))
+    _ensure(SCALING_TURNS, 256)
+    _ensure_light_direct(SCALING_LIGHT_TURNS, 2048)
     ray.shutdown()
 
     results = {c: run(c) for c in (4, 16, 8, 32)}

@@ -1191,6 +1191,38 @@ def q_media_ppm_stats(sf_dir: str):
     return out.select_columns(["media_id", "width", "height", "channels", "n_bytes"])
 
 
+def sql_media_ppm_stats() -> str:
+    """Arithmetic oracle for the PPM decode→resize→decode pipeline: the
+    generator's dims are h=8+37·i mod 56, w=8+61·i mod 56 (SQL-expressible by
+    construction, multipliers chosen so no resize hits a .5 rounding tie);
+    the resize rule is scale=min(1, 32/max(h,w)), d'=max(1, round(d·scale));
+    the P6 byte size is 9 + digits(w') + digits(h') + 3·w'·h'. The oracle
+    checks REAL decoding: the Ray side parses actual re-encoded payloads."""
+    return """
+WITH ids AS (SELECT unnest(range(64)) AS media_id),
+dims AS (
+  SELECT media_id,
+         8 + (media_id * 37) % 56 AS h0,
+         8 + (media_id * 61) % 56 AS w0
+  FROM ids
+),
+resized AS (
+  SELECT media_id,
+         least(1.0, 32.0 / greatest(h0, w0)) AS scale, h0, w0
+  FROM dims
+),
+out AS (
+  SELECT media_id,
+         greatest(1, CAST(floor(w0 * scale + 0.5) AS INT)) AS width,
+         greatest(1, CAST(floor(h0 * scale + 0.5) AS INT)) AS height
+  FROM resized
+)
+SELECT media_id, width::INT AS width, height::INT AS height, 3::INT AS channels,
+       (9 + length(width::VARCHAR) + length(height::VARCHAR)
+          + 3 * width * height)::BIGINT AS n_bytes
+FROM out"""
+
+
 def q_media_wav_stats(sf_dir: str):
     """REAL audio decode: deterministic PCM WAV payloads → sample counts +
     spectral-band features (stdlib wave + numpy rfft). No SQL oracle."""
@@ -1206,6 +1238,15 @@ def q_media_wav_stats(sf_dir: str):
     return df.rename(
         columns={"width": "sample_rate", "height": "n_samples"}
     )
+
+
+def sql_media_wav_stats() -> str:
+    """Arithmetic oracle for the WAV decode: the generator's sample counts
+    are 200 + 173·i mod 1800 by construction; mono 8 kHz PCM16."""
+    return """
+SELECT media_id, 8000::INT AS sample_rate,
+       (200 + (media_id * 173) % 1800)::INT AS n_samples, 1::INT AS channels
+FROM (SELECT unnest(range(64)) AS media_id)"""
 
 
 def q_media_decode_bmp(sf_dir: str):
@@ -2331,6 +2372,8 @@ ORACLES = {
     "embedding_lsh_recall": sql_embedding_lsh_recall(),
     "ann_recall": sql_ann_recall(),
     "media_decode_bmp": sql_media_decode_bmp(),
+    "media_ppm_stats": sql_media_ppm_stats(),
+    "media_wav_stats": sql_media_wav_stats(),
     "text_stats": sql_text_stats(),
     "doc_repetition_stats": sql_doc_repetition_stats(),
     "decontaminate": sql_decontaminate(),

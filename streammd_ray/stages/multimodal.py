@@ -307,11 +307,18 @@ register_codec(
 
 
 def make_ppm_media_table(n: int = 32, *, seed: int = 9) -> pa.Table:
-    """Deterministic REAL PPM payloads (seeded gradients + noise)."""
+    """Deterministic REAL PPM payloads (seeded gradients + noise).
+
+    Dimensions are an arithmetic function of media_id — h = 8 + 37·i mod 56,
+    w = 8 + 61·i mod 56 — so a SQL oracle can reproduce every decoded/resized
+    dimension and byte size without decoding (the multipliers are chosen so
+    no max_side=32 resize lands on an exact .5, where Python's half-even and
+    SQL's half-away rounding would diverge). Pixel CONTENT stays seeded
+    noise: the decoder parses real payloads, not metadata."""
     rng = np.random.default_rng(seed)
     payloads = []
     for i in range(n):
-        h, w = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+        h, w = 8 + (i * 37) % 56, 8 + (i * 61) % 56
         base = np.linspace(0, 255, w, dtype=np.float64)[None, :, None]
         img = (base + rng.integers(0, 64, (h, w, 3))).clip(0, 255).astype(np.uint8)
         payloads.append(encode_ppm(img))
@@ -326,11 +333,15 @@ def make_ppm_media_table(n: int = 32, *, seed: int = 9) -> pa.Table:
 
 
 def make_wav_media_table(n: int = 32, *, seed: int = 9, sample_rate: int = 8000) -> pa.Table:
-    """Deterministic REAL WAV payloads (seeded sine mixtures + noise)."""
+    """Deterministic REAL WAV payloads (seeded sine mixtures + noise).
+
+    Sample counts are an arithmetic function of media_id — n_samples =
+    200 + 173·i mod 1800 — so a SQL oracle reproduces them without decoding;
+    the PCM content stays seeded sines + noise (the parser does real work)."""
     rng = np.random.default_rng(seed)
     payloads = []
     for i in range(n):
-        dur = int(rng.integers(200, 2000))  # samples
+        dur = 200 + (i * 173) % 1800  # samples
         t = np.arange(dur) / sample_rate
         f = float(rng.uniform(100, 2000))
         x = 0.5 * np.sin(2 * np.pi * f * t) + 0.05 * rng.standard_normal(dur)
