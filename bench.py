@@ -396,9 +396,13 @@ def scaling() -> dict:
         )
         if light:
             env["BENCH_LIGHT_CHILD"] = "1"
-            # 512M rows ~= 384M distinct keys: size shards so every level's
-            # total capacity (num_shards x capacity(p, mem)) stays above it
-            env.setdefault("BENCH_BLOOM_MEM", "1GiB")
+            # 512M rows = 403M distinct keys; mem is the TOTAL Bloom budget
+            # split across shards (reference --mem semantics) and needs
+            # 403M x 34.58 bits ≈ 1.74 GB minimum at p=1e-6. 4GiB splits to
+            # exact powers of two at every shard count in use (4/8/16), so
+            # total capacity (994M) — and therefore FPR and dups_marked —
+            # is identical at every level
+            env.setdefault("BENCH_BLOOM_MEM", "4GiB")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
