@@ -333,7 +333,15 @@ def single_run(include_queries: bool = True) -> dict:
                 data_dir = _ensure_light(data_dir)
         _warm_page_cache(data_dir)
 
-        num_shards = max(4, NUM_CPUS // 2)
+        # BENCH_NUM_SHARDS pins the Bloom state partition count — a property
+        # of the JOB (how its state is sharded), not of the cluster size. A
+        # scaling pair must hold it constant across levels or the two levels
+        # run different workload shapes (different per-shard bitset sizes →
+        # different cache behavior) and the ratio measures topology, not
+        # scaling. Default keeps the old CPU-derived choice for single runs.
+        num_shards = int(
+            os.environ.get("BENCH_NUM_SHARDS", max(4, NUM_CPUS // 2))
+        )
         _warm_cluster(NUM_CPUS)
 
         # Pre-spawn the Bloom shard actors (long-lived job infrastructure —
