@@ -180,12 +180,17 @@ def _ensure_light(src_dir: str) -> str:
     return out
 
 
-def _num_blocks(ncpu: int, n_files: int, n_turns: int) -> int:
-    # keep fused read+mark blocks near 500K rows: bigger blocks (≥1M rows of
-    # text) cause allocator/GC churn in the task heap (measured 2x slowdown
-    # at 128M turns), smaller ones over-fragment the shard RPCs; also give
-    # every level at least 2 waves of tasks
-    return min(n_files, max(2 * ncpu, n_turns // 500_000))
+def _num_blocks(
+    ncpu: int, n_files: int, n_turns: int, rows_per_block: int = 500_000
+) -> int:
+    # keep fused read+mark blocks near 500K rows of TEXT: bigger blocks
+    # (≥1M rows of text) cause allocator/GC churn in the task heap (measured
+    # 2x slowdown at 128M turns), smaller ones over-fragment the shard RPCs;
+    # also give every level at least 2 waves of tasks. Payload-light rows are
+    # ~17 bytes, so light runs pass rows_per_block=2M — one sketch partial is
+    # emitted PER BLOCK and the driver-side merge tail is O(blocks), which at
+    # 1024 blocks measurably drags the low-CPU scaling levels.
+    return min(n_files, max(2 * ncpu, n_turns // rows_per_block))
 
 
 def headline(
@@ -355,7 +360,12 @@ def single_run(include_queries: bool = True) -> dict:
             n_turns = SCALING_TURNS
         else:
             n_turns = BENCH_TURNS
-        nb = _num_blocks(NUM_CPUS, n_files, n_turns)
+        nb = _num_blocks(
+            NUM_CPUS,
+            n_files,
+            n_turns,
+            rows_per_block=2_000_000 if light_child else 500_000,
+        )
         reps = int(os.environ.get("BENCH_REPS", "2"))
         times, summary = [], None
         for _ in range(reps):
