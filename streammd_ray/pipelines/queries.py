@@ -1097,9 +1097,12 @@ def q_embedding_knn(sf_dir: str):
     from ..stages.similarity import embedding_topk
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qrows = sorted(ds.take(3), key=lambda r: r["vec_id"])
-    q = np.stack([r["embedding"] for r in qrows if r["vec_id"] < 3])
-    # queries are vec_id 0,1,2 (take(3) of a sorted-by-construction table)
+    # queries are vec_id 0,1,2 — filter explicitly: streaming take(3) returns
+    # whichever block lands first, not the first rows (observed flake under
+    # host load)
+    qrows = sorted(ds.filter(expr="vec_id < 3").take(3), key=lambda r: r["vec_id"])
+    q = np.stack([r["embedding"] for r in qrows])
+    assert len(q) == 3, f"expected query vec_ids 0,1,2; got {[r['vec_id'] for r in qrows]}"
     got = embedding_topk(ds, q, k=5)
     got["score"] = got["score"].round(5)
     # re-rank on the rounded score so ranking matches the SQL exactly
@@ -2265,8 +2268,8 @@ def q_embedding_ann_lsh(sf_dir: str):
     from ..stages.similarity import embedding_lsh_topk
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    rows = sorted(ds.take(3), key=lambda r: r["vec_id"])
-    q = np.stack([r["embedding"] for r in rows if r["vec_id"] < 3])
+    rows = sorted(ds.filter(expr="vec_id < 3").take(3), key=lambda r: r["vec_id"])
+    q = np.stack([r["embedding"] for r in rows])
     return embedding_lsh_topk(ds, q, k=5, n_planes=8)
 
 
@@ -2279,8 +2282,8 @@ def q_embedding_ann_ivf(sf_dir: str):
     from ..stages.similarity import embedding_ivf_topk
 
     ds = read_parquet_clean(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    rows = sorted(ds.take(3), key=lambda r: r["vec_id"])
-    q = np.stack([r["embedding"] for r in rows if r["vec_id"] < 3])
+    rows = sorted(ds.filter(expr="vec_id < 3").take(3), key=lambda r: r["vec_id"])
+    q = np.stack([r["embedding"] for r in rows])
     return embedding_ivf_topk(ds, q, k=5, n_clusters=8, nprobe=3)
 
 # ---------------------------------------------------------------------------
