@@ -224,10 +224,15 @@ def headline(
         batch_size=None,
         shards=shards,
     )
+    trace = bool(os.environ.get("STREAMMD_TRACE"))
+    t0 = time.monotonic()
     # surface the capacity report: a shard past capacity silently inflates
     # dups via FPR (observed: 256MiB shards at 403M keys marked 139M "dups"
     # against 98.7M exact) — make the fill fraction part of every bench line
     cap = out.mark.check_capacity(allow_overcapacity=True)
+    if trace:
+        print(f"[trace] bench check_capacity: {time.monotonic() - t0:.2f}s", file=sys.stderr)
+        t0 = time.monotonic()
     fill = round(cap["n_added"] / max(cap["capacity"], 1), 3)
     if cap["overcapacity_shards"]:
         print(
@@ -236,7 +241,7 @@ def headline(
             "dups_marked is inflated; raise BENCH_BLOOM_MEM",
             file=sys.stderr,
         )
-    return {
+    summary = {
         "turns": out.counters["turns"],
         "dups_marked": out.counters["dups"],
         "bloom_fill": fill,
@@ -245,6 +250,9 @@ def headline(
         "len_p50": round(float(out.sketches["len_tdigest"].quantile(0.5)), 2),
         "len_p99_kll": round(float(out.sketches["len_kll"].quantile(0.99)), 2),
     }
+    if trace:
+        print(f"[trace] bench estimates: {time.monotonic() - t0:.2f}s", file=sys.stderr)
+    return summary
 
 
 def run_queries() -> dict:
@@ -368,17 +376,31 @@ def single_run(include_queries: bool = True) -> dict:
         )
         reps = int(os.environ.get("BENCH_REPS", "2"))
         times, summary = [], None
+        trace = bool(os.environ.get("STREAMMD_TRACE"))
         for _ in range(reps):
+            t0 = time.monotonic()
             shards = make_shard_actors(
                 num_shards, p=1e-6, mem=os.environ.get("BENCH_BLOOM_MEM", "256MiB")
             )
             ray.get([s.stats.remote() for s in shards])
+            if trace:
+                print(
+                    f"[trace] bench shard spawn+warm: {time.monotonic() - t0:.2f}s",
+                    file=sys.stderr,
+                )
             t_head, summary = timed(
                 lambda: headline(num_shards, data_dir, shards, num_blocks=nb)
             )
             times.append(t_head)
+            t0 = time.monotonic()
             for s in shards:
                 ray.kill(s)
+            if trace:
+                print(
+                    f"[trace] bench rep={t_head:.2f}s shard kill: "
+                    f"{time.monotonic() - t0:.2f}s",
+                    file=sys.stderr,
+                )
         t_head = statistics.median(times) if len(times) > 1 else times[0]
         out = {
             "metric": "bloom_dedup_plus_sketch_turns_per_sec",

@@ -209,9 +209,24 @@ def run_flagship(
         zero_copy_batch=True,
         batch_size=None,
     )
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _trace = bool(_os.environ.get("STREAMMD_TRACE"))
+    _t0 = _time.monotonic()
+
+    def _mark_phase(name: str) -> None:
+        nonlocal _t0
+        if _trace:
+            now = _time.monotonic()
+            print(f"[trace] flagship {name}: {now - _t0:.2f}s", file=_sys.stderr)
+            _t0 = now
+
     by_name: dict[str, list[bytes]] = {}
     for row in partials.take_all():
         by_name.setdefault(row["sketch"], []).append(row["state"])
+    _mark_phase("plan+execute+take_all")
     counts = [pickle.loads(s) for s in by_name.pop("__counts")]
     counters = {
         "turns": sum(c[0] for c in counts),
@@ -219,6 +234,7 @@ def run_flagship(
         "nulls": sum(c[2] for c in counts),
     }
     sketches = {n: tree_merge(sts) for n, sts in by_name.items()}
+    _mark_phase("tree_merge")
     # the lazy marked plan was consumed exactly once by the partials pass
     # above (which also persisted the part files when output_dir was set);
     # seal the shard actors and replace the lazy handles with guards so any
@@ -227,6 +243,7 @@ def run_flagship(
     import ray
 
     ray.get([s.seal.remote() for s in res.shards])
+    _mark_phase("seal")
     guard = _ConsumedDataset(
         "run_flagship already consumed the marked dataset in its single "
         "fused pass; read the written part files (output_dir=...) if you "

