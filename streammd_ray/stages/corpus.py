@@ -557,12 +557,15 @@ WITH toks AS (
 ),
 c AS (
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (
+         -- window sum returns HUGEINT in DuckDB -> float64 through Arrow;
+         -- cast to BIGINT so the driver's value-hash matches the engine's
+         -- int64 (12 vs 12.0 hash-mismatch otherwise)
+         CAST(coalesce(sum(n_tokens) OVER (
            ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-         ), 0) AS tok_start
+         ), 0) AS BIGINT) AS tok_start
   FROM toks
 )
 SELECT doc_id, n_tokens, tok_start,
-       tok_start // {chunk_len} AS chunk_first,
-       (tok_start + n_tokens - 1) // {chunk_len} AS chunk_last
+       CAST(tok_start // {chunk_len} AS BIGINT) AS chunk_first,
+       CAST((tok_start + n_tokens - 1) // {chunk_len} AS BIGINT) AS chunk_last
 FROM c WHERE n_tokens > 0"""
