@@ -573,9 +573,21 @@ def q_spacesaving_accuracy(sf_dir: str):
     ds = transcripts_ds(sf_dir, columns=["tool"])
     ss = sketch_column(ds, "tool", SpaceSaving(k=64))
     by_key = {key: (c, e) for key, c, e in ss.top_k()}
+    # The SQL twin hard-codes tracked/brackets_truth = true, which is only
+    # guaranteed while every exact top-5 tool is tracked — certain when the
+    # distinct-tool cardinality ≤ k=64 (SpaceSaving tracks ALL keys then).
+    # Assert that assumption so a future generator change breaks loudly
+    # here, not as a confusing oracle hash mismatch (round-3 advice #3).
+    untracked = [t for t in exact["tool"] if t not in by_key]
+    assert not untracked, (
+        f"exact top-5 tools {untracked} not tracked by SpaceSaving(k=64); "
+        "the oracle hard-codes tracked=true, which assumes distinct tool "
+        f"cardinality <= k (currently {len(by_key)} tracked keys) — the "
+        "testdata generator's tool cardinality must have grown past 64"
+    )
     rows = []
     for tool, n in zip(exact["tool"], exact["n"]):
-        c, e = by_key.get(tool, (0, 0))
+        c, e = by_key[tool]
         rows.append(
             {
                 "tool": tool,

@@ -46,6 +46,15 @@ from ..sketches.bloom import BloomFilter
 KEY_H1 = "__key_h1"
 KEY_H2 = "__key_h2"
 
+# Arrow field-metadata key recording which (key_cols, seeds) produced the
+# stored hash columns — checked on passthrough so a pipeline can't silently
+# dedup pre-hashed data on the wrong key spec.
+_KEY_SPEC_META = b"streammd.key_spec"
+
+
+def _key_spec(key_cols: tuple[str, ...], seeds: tuple[int, int]) -> str:
+    return f"cols={','.join(key_cols)};seeds={seeds[0]:x},{seeds[1]:x}"
+
 
 def canonical_key(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Array:
     """Length-prefixed, collision-safe concatenation of the key columns.
@@ -81,13 +90,45 @@ def add_key_columns(
 ):
     """Append the (h1, h2) dedup-key hash columns (uint64; 0 = null key).
 
-    Batches that already carry the key columns pass through unchanged —
-    this lets a pipeline run over a pre-hashed table (e.g. a payload-light
-    derivative where the text column was dropped after hashing) without a
-    separate code path."""
+    Batches that already carry the key columns pass through — this lets a
+    pipeline run over a pre-hashed table (e.g. a payload-light derivative
+    where the text column was dropped after hashing) without a separate
+    code path. The passthrough is NOT blind (round-3 advice #2): when the
+    stored KEY_H1 field carries a key-spec annotation, or when the requested
+    key columns are still present so the hash can be spot-recomputed, a
+    (key_cols, seeds) mismatch raises instead of silently deduping on the
+    wrong key."""
+    spec = _key_spec(key_cols, seeds)
+
+    def _recompute(batch: pa.Table, rows: int = 4) -> None:
+        head = batch.slice(0, min(rows, batch.num_rows))
+        key = canonical_key(head, key_cols)
+        h1, _ = hash_pair_batch(key, *seeds)
+        h1 = h1.copy()
+        h1[np.asarray(pc.is_null(key))] = 0
+        stored = np.asarray(head[KEY_H1], dtype=np.int64).view(np.uint64)
+        if not np.array_equal(h1, stored):
+            raise ValueError(
+                f"pre-existing {KEY_H1}/{KEY_H2} columns were hashed with a "
+                f"different key spec than the requested {spec} — refusing to "
+                "dedup on mismatched keys"
+            )
 
     def derive(batch: pa.Table) -> pa.Table:
         if KEY_H1 in batch.column_names and KEY_H2 in batch.column_names:
+            field = batch.field(KEY_H1)
+            stored_spec = (field.metadata or {}).get(_KEY_SPEC_META)
+            if stored_spec is not None:
+                if stored_spec.decode() != spec:
+                    raise ValueError(
+                        f"pre-existing {KEY_H1} was derived with key spec "
+                        f"{stored_spec.decode()!r} but this stage requested "
+                        f"{spec!r} — refusing to dedup on mismatched keys"
+                    )
+            elif all(c in batch.column_names for c in key_cols):
+                _recompute(batch)
+            # else: key columns dropped upstream (payload-light table) and no
+            # annotation to check — the caller owns the spec contract
             return batch
         key = canonical_key(batch, key_cols)
         h1, h2 = hash_pair_batch(key, *seeds)
@@ -98,7 +139,8 @@ def add_key_columns(
         # trip int64 through Arrow cleanly, while uint64 > 2^63 falls back to
         # pickled Python objects (stages view back to uint64 for arithmetic)
         return batch.append_column(
-            KEY_H1, pa.array(h1.view(np.int64), pa.int64())
+            pa.field(KEY_H1, pa.int64(), metadata={_KEY_SPEC_META: spec}),
+            pa.array(h1.view(np.int64), pa.int64()),
         ).append_column(KEY_H2, pa.array(h2.view(np.int64), pa.int64()))
 
     return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)

@@ -275,3 +275,46 @@ def test_sampling_sql_parity_negative_keys(ray_session):
         duckdb.sql(f"SELECT k FROM t WHERE {pred} ORDER BY k").df()["k"].tolist()
     )
     assert got == want and len(want) > 0
+
+
+def test_key_spec_passthrough_mismatch_raises(ray_session):
+    """Pre-hashed key columns + a different requested spec must raise, not
+    silently dedup on the wrong key (round-3 advice #2)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from streammd_ray.stages.dedup import add_key_columns
+
+    t = pa.table({"text": ["a", "b", "c", "a"], "other": ["x", "y", "z", "x"]})
+    hashed = add_key_columns(rd.from_arrow(t), ("text",)).materialize()
+
+    # same spec: passthrough is fine
+    add_key_columns(hashed, ("text",)).materialize()
+
+    # different key columns → spot-recompute catches it
+    with pytest.raises(Exception, match="mismatched keys"):
+        add_key_columns(hashed, ("other",)).materialize()
+
+    # different seeds → caught too
+    with pytest.raises(Exception, match="mismatched keys"):
+        add_key_columns(hashed, ("text",), seeds=(1, 2)).materialize()
+
+
+def test_key_spec_passthrough_light_table_allowed(ray_session):
+    """Payload-light tables (key columns dropped after hashing, no field
+    metadata survives a plain parquet-less rebuild) still pass through."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from streammd_ray.stages.dedup import KEY_H1, KEY_H2, add_key_columns
+
+    t = pa.table(
+        {
+            KEY_H1: pa.array(np.arange(1, 5), pa.int64()),
+            KEY_H2: pa.array(np.arange(5, 9), pa.int64()),
+        }
+    )
+    out = add_key_columns(rd.from_arrow(t), ("text",)).materialize()
+    assert out.count() == 4

@@ -439,3 +439,77 @@ def test_char_gram_ids_match_set_semantics():
     sa, sb = _char_ngrams(texts[0], n), _char_ngrams(texts[7], n)
     ga, gb = set(gid[s == 0].tolist()), set(gid[s == 7].tolist())
     assert len(ga & gb) == len(sa & sb)
+
+
+def test_word_gram_hashes_match_scalar_reference():
+    """The vectorized word-shingle path must reproduce _shingle_word_grams
+    string-for-string (hash multiset per doc identical), including unicode
+    whitespace, short docs (whole-text shingle), empties and nulls."""
+    import pyarrow as pa
+
+    from streammd_ray.hashing import hash64_batch
+    from streammd_ray.stages.similarity import (
+        _shingle_word_grams,
+        _word_gram_hashes,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "  leading and trailing   whitespace\t\tand\ntabs  ",
+        "short doc",        # < k words -> single whole-text shingle
+        "one",
+        "",                  # no shingles
+        None,                # no shingles
+        "naïve café unicode spaces here ok",
+        "a b c d e f g h",
+        "repeat repeat repeat repeat repeat repeat",
+    ]
+    k = 5
+    gh, gp, sh, sp = _word_gram_hashes(pa.array(texts, pa.string()), k, seed=17)
+    got: dict[int, list] = {}
+    for h, p in zip(gh, gp):
+        got.setdefault(int(p), []).append(int(h))
+    for h, p in zip(sh, sp):
+        got.setdefault(int(p), []).append(int(h))
+    for i, t in enumerate(texts):
+        grams = _shingle_word_grams(t, k) if t else []
+        want = sorted(int(x) for x in hash64_batch(grams, seed=17)) if grams else []
+        assert sorted(got.get(i, [])) == want, f"doc {i}: {t!r}"
+
+
+def test_batch_signatures_word_mode_matches_scalar_construction():
+    """Signatures from the vectorized path == signatures from hashing the
+    scalar reference shingles (hash identity preserved end to end)."""
+    import numpy as np
+
+    from streammd_ray.hashing import hash64_batch
+    from streammd_ray.stages.similarity import MinHasher, _shingle_word_grams
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and keeps running",
+        "tiny",
+        "",
+        None,
+        "exactly five words right here now",
+    ]
+    mh = MinHasher(num_perm=32, shingle_k=5)
+    sigs = mh.batch_signatures(texts)
+    for i, t in enumerate(texts):
+        grams = _shingle_word_grams(t, 5) if t else []
+        if not grams:
+            assert (sigs[i] == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+            continue
+        want = mh.signature(hash64_batch(grams, seed=17))
+        assert (sigs[i] == want).all(), f"doc {i}"
+
+
+def test_batch_fingerprints_accepts_arrow_and_matches_lists():
+    import pyarrow as pa
+
+    from streammd_ray.stages.similarity import SimHasher
+
+    texts = ["a b c", "", None, "  x\t y  ", "hello world hello"]
+    sh = SimHasher()
+    a = sh.batch_fingerprints(texts)
+    b = sh.batch_fingerprints(pa.array(texts, pa.string()))
+    assert (a == b).all()
