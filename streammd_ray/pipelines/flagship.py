@@ -177,6 +177,7 @@ def run_flagship(
     mark_concurrency=8,
     batch_size: int | None = None,
     output_dir: str | None = None,
+    seal: bool = True,
     **mark_kwargs: Any,
 ) -> FlagshipResult:
     """One streaming pass: mark + sketches + counters (+ optional parquet
@@ -242,8 +243,11 @@ def run_flagship(
     # pass against populated shards
     import ray
 
-    ray.get([s.seal.remote() for s in res.shards])
-    _mark_phase("seal")
+    if seal:
+        ray.get([s.seal.remote() for s in res.shards])
+        _mark_phase("seal")
+    # seal=False: the caller owns long-lived shards spanning several fused
+    # passes (the checkpointed wave runner) and seals after the LAST wave
     guard = _ConsumedDataset(
         "run_flagship already consumed the marked dataset in its single "
         "fused pass; read the written part files (output_dir=...) if you "
