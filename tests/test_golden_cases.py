@@ -401,3 +401,166 @@ def test_bloom_empty_string_vs_null_path(ray_session):
     f = res.merged_filter()
     assert 0 < f.count_bits_set() <= f.k
     res.release()
+
+
+# ---------------------------------------------------------------------------
+# round-4 conformance breadth (VERDICT.md r3 "Next round" #5: grow toward the
+# reference's 51-case rigor — >=30 distinct golden cases, every one ALSO
+# checked against the exact DuckDB oracle, plus block-splitting megabyte
+# values and cross-shard duplicate placement)
+# ---------------------------------------------------------------------------
+
+CASES["single_char_keys"] = _case(
+    [("c1", 0, "a", False), ("c1", 1, "b", False), ("c1", 2, "a", True),
+     ("c2", 0, "b", True), ("c2", 1, "c", False)]
+)
+CASES["numeric_text_distinct"] = _case(
+    # "1", "01", "1.0" are distinct byte keys (no numeric coercion)
+    [("c1", 0, "1", False), ("c1", 1, "01", False), ("c1", 2, "1.0", False),
+     ("c2", 0, "1", True)]
+)
+CASES["shared_prefix_64k"] = _case(
+    # 64 KiB shared prefix, difference buried in the middle
+    [("c1", 0, "p" * 65536 + "A" + "q" * 100, False),
+     ("c2", 0, "p" * 65536 + "B" + "q" * 100, False),
+     ("c3", 0, "p" * 65536 + "A" + "q" * 100, True)]
+)
+CASES["differ_first_byte_only"] = _case(
+    [("c1", 0, "a" + "z" * 5000, False), ("c2", 0, "b" + "z" * 5000, False),
+     ("c3", 0, "a" + "z" * 5000, True)]
+)
+CASES["dup_run_length_10"] = _case(
+    [("c1", i, "rep", i > 0) for i in range(10)]
+)
+CASES["fifty_distinct_one_conv"] = _case(
+    [("c1", i, f"distinct-{i}", False) for i in range(50)]
+)
+CASES["nul_bytes_inside_text"] = _case(
+    [("c1", 0, "a\x00b", False), ("c1", 1, "a", False), ("c1", 2, "\x00b", False),
+     ("c2", 0, "a\x00b", True)]
+)
+CASES["combining_mark_order"] = _case(
+    # e + acute + circumflex vs e + circumflex + acute: different sequences
+    [("c1", 0, "é̂", False), ("c1", 1, "ế", False),
+     ("c2", 0, "é̂", True)]
+)
+CASES["rtl_and_bidi_marks"] = _case(
+    [("c1", 0, "שלום", False),        # Hebrew shalom
+     ("c1", 1, "‏שלום", False),   # +RLM: distinct
+     ("c2", 0, "שלום", True)]
+)
+CASES["emoji_zwj_sequence"] = _case(
+    # woman-technologist ZWJ sequence vs its parts concatenated without ZWJ
+    [("c1", 0, "\U0001f469‍\U0001f4bb", False),
+     ("c1", 1, "\U0001f469\U0001f4bb", False),
+     ("c2", 0, "\U0001f469‍\U0001f4bb", True)]
+)
+CASES["alternating_two_keys_200"] = _case(
+    [("c1", i, "even" if i % 2 == 0 else "odd", i > 1) for i in range(200)]
+)
+CASES["min_rank_tie_across_convs"] = _case(
+    # survivor is lexicographic min of (conv_id, turn_idx): ("a", 9) wins
+    [("b", 0, "tie", True), ("a", 9, "tie", False), ("c", 1, "tie", True)]
+)
+CASES["casefold_distinct"] = _case(
+    [("c1", 0, "STRASSE", False), ("c1", 1, "strasse", False),
+     ("c1", 2, "straße", False), ("c2", 0, "STRASSE", True)]
+)
+CASES["empty_conv_id"] = _case(
+    [("", 0, "k1", False), ("", 1, "k2", False), ("c1", 0, "k1", True)]
+)
+CASES["mixed_stress"] = _case(
+    [("c1", 0, None, False), ("c1", 1, "", False), ("c1", 2, "héllo", False),
+     ("c2", 0, "", True), ("c2", 1, None, False), ("c2", 2, "héllo", True),
+     ("c3", 0, "x" * 100_000, False), ("c4", 0, "x" * 100_000, True)]
+)
+CASES["long_then_short_same_conv"] = _case(
+    [("c1", 0, "y" * 500_000, False), ("c1", 1, "y", False),
+     ("c2", 0, "y" * 500_000, True), ("c2", 1, "yy", False)]
+)
+
+
+def test_case_count_meets_conformance_bar():
+    """The corpus must stay at or above the round-4 bar (>=30 distinct
+    golden cases, VERDICT r3 next-round #5)."""
+    assert len(CASES) >= 30, len(CASES)
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_exact_first_vs_duckdb_oracle(ray_session, name):
+    """Every golden case double-checked against the exact SQL oracle: the
+    engine's per-row labels must equal DuckDB's first-seen window rule
+    (NULL text never duplicate; survivor = min (conv_id, turn_idx))."""
+    import duckdb
+
+    df = CASES[name]
+    got = (
+        dedup_exact_first(_ds(df))
+        .to_pandas()
+        .set_index(["conv_id", "turn_idx"])["is_duplicate"]
+    )
+    tbl = df[["conv_id", "turn_idx", "text"]]  # noqa: F841 (duckdb scans locals)
+    want = duckdb.sql(
+        """
+        SELECT conv_id, turn_idx,
+               CASE WHEN text IS NULL THEN false
+                    ELSE row_number() OVER (
+                        PARTITION BY text ORDER BY conv_id, turn_idx) > 1
+               END AS is_duplicate
+        FROM tbl
+        """
+    ).df().set_index(["conv_id", "turn_idx"])["is_duplicate"]
+    got = got.reindex(want.index)
+    assert got.tolist() == want.tolist(), name
+
+
+def test_megabyte_texts_split_across_blocks(ray_session):
+    """1 MB values with the rows forced into SEPARATE blocks: key hashing,
+    the rank shuffle and Bloom marking must agree across block boundaries
+    (the block-splitting golden the r3 verdict asked for)."""
+    df = _case(
+        [
+            ("c1", 0, "m" * 1_000_000 + "a", False),
+            ("c2", 0, "m" * 1_000_000 + "b", False),
+            ("c3", 0, "m" * 1_000_000 + "a", True),
+            ("c4", 0, "m" * 1_000_000 + "b", True),
+        ]
+    )
+    ds = _ds(df).repartition(4)  # one row per block
+    out = (
+        dedup_exact_first(ds)
+        .to_pandas()
+        .set_index(["conv_id", "turn_idx"])["is_duplicate"]
+    )
+    want = df.set_index(["conv_id", "turn_idx"])["want"]
+    assert out.reindex(want.index).tolist() == want.tolist()
+
+    m = compute_metrics(
+        mark_duplicates(
+            _ds(df).repartition(4), p=1e-9, num_shards=2, materialize=True
+        ).marked
+    )
+    assert m["TURNS_MARKED_DUPLICATE"] == 2
+
+
+def test_cross_shard_duplicate_placement(ray_session):
+    """Duplicate pairs spread across EVERY Bloom shard: 64 distinct keys x 2
+    occurrences at num_shards=8. Key-hash routing must send both occurrences
+    of a key to the same shard (that is the correctness invariant), every
+    shard must receive work, and exactly one occurrence per key is marked."""
+    rows = []
+    for i in range(64):
+        rows.append((f"first-{i}", 0, f"shardkey-{i}", False))
+        rows.append((f"second-{i}", 0, f"shardkey-{i}", True))
+    df = _case(rows)
+    res = mark_duplicates(_ds(df), p=1e-9, num_shards=8, materialize=True)
+    m = compute_metrics(res.marked)
+    assert m["TURNS_MARKED_DUPLICATE"] == 64
+    stats = res.shard_stats()
+    # all shards participated (64 hashed keys over 8 shards: the odds of an
+    # empty shard are (7/8)^64 ~ 2e-4 per shard; the fixed key set makes
+    # this deterministic in practice)
+    assert sum(s["keys_seen"] for s in stats) == 128
+    assert sum(s["dups"] for s in stats) == 64
+    assert all(s["keys_seen"] > 0 for s in stats), stats
+    res.release()
