@@ -434,17 +434,27 @@ class MediaResizeStage:
     recomputes target dims only (plumbing); ``'stub'`` raises at the
     plug-in point."""
 
-    def __init__(self, *, max_side: int = 256, decoder: str = "stub"):
+    def __init__(
+        self,
+        *,
+        max_side: int = 256,
+        decoder: str = "stub",
+        codec: MediaCodec | None = None,
+    ):
         self.max_side = max_side
         self.decoder = decoder
         self._codec = None
-        if decoder not in _RESERVED:
-            c = get_codec(decoder)
-            if c.resize is None or c.encode is None:
+        if codec is None and decoder not in _RESERVED:
+            # worker-side registry lookup only knows the built-ins; a
+            # driver-registered codec must ship by value (``codec=``, done
+            # by :func:`resize_media`) just like MediaDecodeStage
+            codec = get_codec(decoder)
+        if codec is not None:
+            if codec.resize is None or codec.encode is None:
                 raise ValueError(
                     f"codec {decoder!r} has no resize/encode — cannot transcode"
                 )
-            self._codec = c
+            self._codec = codec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .text import set_column
@@ -481,6 +491,26 @@ class MediaResizeStage:
         return set_column(
             batch, "height", pa.array((h * scale).astype(np.int32), pa.int32())
         )
+
+
+def resize_media(
+    ds, *, max_side: int = 256, decoder: str = "stub", batch_size: int = 16,
+    concurrency=(1, 4),
+):
+    """Run the resize/transcode stage as an actor pool, resolving the codec
+    from the DRIVER's registry and shipping it by value (the decode_media
+    pattern) so user-registered codecs work without worker-side imports."""
+    codec = None if decoder in _RESERVED else get_codec(decoder)
+    return ds.map_batches(
+        MediaResizeStage,
+        fn_constructor_kwargs={
+            "max_side": max_side, "decoder": decoder, "codec": codec,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 def frame_sample_plan(n_frames: int, every: int) -> np.ndarray:
