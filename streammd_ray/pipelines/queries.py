@@ -1495,6 +1495,9 @@ def q_events_windowed(sf_dir: str):
     )
     df = out.to_pandas()
     df["total_value"] = df["total_value"].round(4)
+    # the hash aggregate round-trips timestamps through pandas at second
+    # resolution; restore the oracle's microsecond unit for the dtype check
+    df["hour"] = df["hour"].astype("datetime64[us]")
     return df
 
 
@@ -1667,7 +1670,10 @@ def q_q3_shipping_priority(sf_dir: str):
         .sort(["revenue", "l_orderkey"], descending=[True, False])
         .limit(10)
     )
-    return out
+    df = out.to_pandas()  # 10 rows
+    # restore microsecond unit after the aggregate's pandas round-trip
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
+    return df
 
 
 def sql_q3_shipping_priority() -> str:
@@ -1931,6 +1937,8 @@ def q_events_hopping_window(sf_dir: str):
     )
     df = out.to_pandas()
     df["total_value"] = df["total_value"].round(4)
+    # restore microsecond unit after the aggregate's pandas round-trip
+    df["window_start"] = df["window_start"].astype("datetime64[us]")
     return df
 
 
