@@ -38,6 +38,48 @@ import sys
 import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _cpu_jiffies() -> tuple[int, int, int]:
+    """(idle+iowait, steal, total) jiffies from /proc/stat line 1."""
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    steal = vals[7] if len(vals) > 7 else 0
+    return idle, steal, sum(vals)
+
+
+def _host_busy_fraction(interval: float = 0.5) -> float:
+    """Instantaneous non-idle CPU fraction. Sampled at PROCESS START, before
+    this bench does any local work: 1-min loadavg is a trailing indicator
+    that stays high for a minute after any heavy local job ends."""
+    i0, _, t0 = _cpu_jiffies()
+    time.sleep(interval)
+    i1, _, t1 = _cpu_jiffies()
+    return round(1.0 - (i1 - i0) / max(t1 - t0, 1), 3)
+
+
+class _StealMeter:
+    """CPU-steal fraction across a timed region.
+
+    This sandbox is a VM: hypervisor-neighbor load is INVISIBLE while the
+    guest idles (steal only accrues when the guest wants to run) and shows
+    up only as %st DURING our reps — measured 0-33% swings here, each worth
+    a 1.5-5x headline distortion. Busy-at-start and loadavg both read clean
+    in exactly the windows that produced the worst numbers, so steal around
+    the timed region is the only honest taint signal."""
+
+    def start(self) -> None:
+        _, self._s0, self._t0 = _cpu_jiffies()
+
+    def stop(self) -> float:
+        _, s1, t1 = _cpu_jiffies()
+        return round((s1 - self._s0) / max(t1 - self._t0, 1), 3)
+
+
+# measured once at import (= process start, before ray.init / table gen /
+# page-cache warm add our own noise)
+_HOST_BUSY_AT_START = _host_busy_fraction() if os.name == "posix" else 0.0
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "16000000"))
 # the scaling criterion needs a job big enough to saturate the low CPU level
@@ -402,14 +444,25 @@ def single_run(include_queries: bool = True) -> dict:
             rows_per_block=2_000_000 if light_child else 500_000,
         )
         reps = int(os.environ.get("BENCH_REPS", "2"))
+        # steal-aware retries: hypervisor-neighbor bursts last well under a
+        # minute here; when every rep was steal-contaminated, a few extra
+        # reps usually catch a quiet window. Clean reps measure the engine,
+        # contaminated ones measure the neighbors.
+        max_extra = int(os.environ.get("BENCH_MAX_EXTRA_REPS", "4"))
+        CLEAN_STEAL = 0.03
         times, summary = [], None
         trace = bool(os.environ.get("STREAMMD_TRACE"))
         # host-load guard (round-3 judge item #3): BENCH_r03's headline was
-        # recorded 1.8x slow purely from external host load; record the
-        # 1-min loadavg at rep start and flag the line as tainted when the
-        # host was already busy BEFORE our timed work began.
+        # recorded 1.8x slow purely from external host load; the taint
+        # signal is the instantaneous busy-CPU fraction sampled at PROCESS
+        # START (before our own work), plus the 1-min loadavg for context.
         load_before = os.getloadavg()[0]
-        for _ in range(reps):
+        busy_at_start = _HOST_BUSY_AT_START
+        steals = []
+        meter = _StealMeter()
+        rep_i = 0
+        while rep_i < reps:
+            rep_i += 1
             t0 = time.monotonic()
             shards = make_shard_actors(
                 num_shards, p=1e-6, mem=os.environ.get("BENCH_BLOOM_MEM", "256MiB")
@@ -420,9 +473,11 @@ def single_run(include_queries: bool = True) -> dict:
                     f"[trace] bench shard spawn+warm: {time.monotonic() - t0:.2f}s",
                     file=sys.stderr,
                 )
+            meter.start()
             t_head, flagship_out = timed(
                 lambda: headline(num_shards, data_dir, shards, num_blocks=nb)
             )
+            steals.append(meter.stop())
             times.append(t_head)
             summary = summarize(flagship_out)  # diagnostics, outside the timer
             t0 = time.monotonic()
@@ -430,11 +485,21 @@ def single_run(include_queries: bool = True) -> dict:
                 ray.kill(s)
             if trace:
                 print(
-                    f"[trace] bench rep={t_head:.2f}s shard kill: "
-                    f"{time.monotonic() - t0:.2f}s",
+                    f"[trace] bench rep={t_head:.2f}s steal={steals[-1]:.1%} "
+                    f"shard kill: {time.monotonic() - t0:.2f}s",
                     file=sys.stderr,
                 )
-        t_head = statistics.median(times) if len(times) > 1 else times[0]
+            # every rep so far steal-contaminated → extend the run (bounded)
+            if (
+                rep_i == reps
+                and max_extra > 0
+                and not any(s <= CLEAN_STEAL for s in steals)
+            ):
+                reps += 1
+                max_extra -= 1
+        clean_times = [t for t, s in zip(times, steals) if s <= CLEAN_STEAL]
+        scored = clean_times or times
+        t_head = statistics.median(scored) if len(scored) > 1 else scored[0]
         out = {
             "metric": "bloom_dedup_plus_sketch_turns_per_sec",
             "value": round(t_head, 3),
@@ -445,16 +510,20 @@ def single_run(include_queries: bool = True) -> dict:
             "num_shards": num_shards,
             "reps_sec": [round(t, 3) for t in times],
             "loadavg_1min_start": round(load_before, 2),
+            "host_busy_at_start": busy_at_start,
+            "cpu_steal_per_rep": steals,
+            "clean_reps_sec": [round(t, 3) for t in clean_times],
             "table_fingerprint": _table_fingerprint(data_dir),
             "gen_seed": 42,
             **summary,
         }
-        if load_before > 2.0:
+        if busy_at_start > 0.15 or not clean_times:
             out["tainted"] = True
             print(
-                f"WARNING: host 1-min loadavg was {load_before:.1f} before the "
-                "timed reps with no local work — numbers depressed by external "
-                "load; re-run on an idle host before recording",
+                f"WARNING: external host load during the bench (busy at "
+                f"start {busy_at_start:.0%}, per-rep CPU steal {steals}) — "
+                "no steal-clean rep was captured; the value is depressed by "
+                "hypervisor neighbors, re-run when quiet before recording",
                 file=sys.stderr,
             )
         if include_queries:
