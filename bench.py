@@ -604,6 +604,8 @@ def scaling() -> dict:
             "turns_per_sec_lo": r_lo["turns_per_sec"],
             "turns_per_sec_hi": r_hi["turns_per_sec"],
             "num_shards": shards,
+            "steal_lo": r_lo.get("cpu_steal_per_rep"),
+            "steal_hi": r_hi.get("cpu_steal_per_rep"),
             "efficiency": round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3),
         }
     # payload-light 8→32: same job, same rows, text payload replaced by the
@@ -620,6 +622,8 @@ def scaling() -> dict:
         "turns_per_sec_lo": light[8]["turns_per_sec"],
         "turns_per_sec_hi": light[32]["turns_per_sec"],
         "num_shards": "level-scaled (4@8cpu, 16@32cpu)",
+        "steal_lo": light[8].get("cpu_steal_per_rep"),
+        "steal_hi": light[32].get("cpu_steal_per_rep"),
         "efficiency": round((light[8]["value"] / light[32]["value"]) / 4.0, 3),
     }
     tainted = any(
