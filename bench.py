@@ -465,7 +465,13 @@ def single_run(include_queries: bool = True) -> dict:
             rep_i += 1
             t0 = time.monotonic()
             shards = make_shard_actors(
-                num_shards, p=1e-6, mem=os.environ.get("BENCH_BLOOM_MEM", "256MiB")
+                num_shards,
+                p=1e-6,
+                mem=os.environ.get("BENCH_BLOOM_MEM", "256MiB"),
+                # cache-line-blocked probe layout (BlockedBloomFilter): all k
+                # probes of a key in one 64-byte line — opt-in A/B knob for
+                # the DRAM-latency-bound probe kernel
+                blocked=bool(os.environ.get("BENCH_BLOOM_BLOCKED")),
             )
             ray.get([s.stats.remote() for s in shards])
             if trace:
@@ -517,6 +523,8 @@ def single_run(include_queries: bool = True) -> dict:
             "gen_seed": 42,
             **summary,
         }
+        if os.environ.get("BENCH_BLOOM_BLOCKED"):
+            out["bloom_blocked"] = True
         if busy_at_start > 0.15 or not clean_times:
             out["tainted"] = True
             print(

@@ -4,7 +4,7 @@ filter (/root/reference/src/bloomfilter.h) into partition-parallel,
 tree-mergeable form."""
 
 from .base import Sketch, SketchError, merge_all
-from .bloom import BloomFilter, capacity, m_k_min, parse_memspec
+from .bloom import BlockedBloomFilter, BloomFilter, capacity, m_k_min, parse_memspec
 from .cms import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLL
@@ -15,6 +15,7 @@ __all__ = [
     "Sketch",
     "SketchError",
     "merge_all",
+    "BlockedBloomFilter",
     "BloomFilter",
     "capacity",
     "m_k_min",

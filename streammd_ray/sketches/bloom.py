@@ -78,6 +78,12 @@ def capacity(p: float, m: float, k: float) -> int:
 class BloomFilter(Sketch):
     kind = "bloom"
 
+    #: axis of ``_indices`` output that runs over the k probes of one key:
+    #: 0 → shape (k, n) probe-major (classic), 1 → shape (n, k) key-major
+    #: (blocked layout — key-major order makes the k gathers/scatters of a
+    #: key consecutive, so they hit the one cache line the layout promises)
+    _probe_axis = 0
+
     def __init__(
         self,
         p: float = DEFAULT_FPR,
@@ -138,7 +144,8 @@ class BloomFilter(Sketch):
         return idx % np.uint64(self.m)
 
     def _test_and_set(self, idx: np.ndarray) -> np.ndarray:
-        """idx: (k, n) → bool (n,) 'all k bits were already set'; sets all.
+        """idx: probe indices (axis ``_probe_axis`` runs over a key's k
+        probes) → bool (n,) 'all k bits were already set'; sets all.
 
         The scatter-OR (np.bitwise_or.at, unbuffered) dominates the kernel;
         when most probe bits are already set (steady-state duplicate-heavy
@@ -147,7 +154,7 @@ class BloomFilter(Sketch):
         word = (idx >> np.uint64(6)).astype(np.int64)
         bit = np.uint64(1) << (idx & np.uint64(63))
         present = (self._bits[word] & bit) != 0
-        seen = present.all(axis=0)
+        seen = present.all(axis=self._probe_axis)
         need = ~present.ravel()
         if need.mean() < 0.55:
             np.bitwise_or.at(self._bits, word.ravel()[need], bit.ravel()[need])
@@ -247,14 +254,18 @@ class BloomFilter(Sketch):
         """Sketch-ABC insert (discards the was_new signal)."""
         self.add_batch(values)
 
-    def contains_batch(self, values) -> np.ndarray:
-        h1, h2 = hash_pair_batch(values, *self.seeds)
+    def contains_hashed(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """Membership for pre-hashed keys (read-only; no insert)."""
         idx = self._indices(
             np.ascontiguousarray(h1, np.uint64), np.ascontiguousarray(h2, np.uint64)
         )
         word = (idx >> np.uint64(6)).astype(np.int64)
         bit = np.uint64(1) << (idx & np.uint64(63))
-        return ((self._bits[word] & bit) != 0).all(axis=0)
+        return ((self._bits[word] & bit) != 0).all(axis=self._probe_axis)
+
+    def contains_batch(self, values) -> np.ndarray:
+        h1, h2 = hash_pair_batch(values, *self.seeds)
+        return self.contains_hashed(h1, h2)
 
     # --- summaries ------------------------------------------------------------
 
@@ -301,3 +312,129 @@ class BloomFilter(Sketch):
 
     def __len__(self) -> int:
         return self.n_added
+
+
+#: one x86 cache line. The blocked filter confines all k probes of a key to a
+#: single 512-bit block, so a probe costs ~1 DRAM line fetch instead of k.
+BLOCK_BITS = 512
+
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    """SplitMix64 finalizer (Steele et al. 2014, public domain) — generates
+    the blocked filter's fixed probe constants deterministically."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
+class BlockedBloomFilter(BloomFilter):
+    """Cache-line-blocked Bloom filter (Putze, Sanders & Singler 2007,
+    "Cache-, Hash- and Space-Efficient Bloom Filters", WEA).
+
+    Layout: h1 selects one 512-bit block (a 64-byte cache line); all k probe
+    bits live inside that block, each derived from h2 by an independent
+    multiplicative hash (top-9-bits of h2·C_j for k fixed odd constants).
+    One key therefore touches 1 cache line on insert and lookup where the
+    classic layout touches k — on filters far larger than LLC this removes
+    the DRAM-latency wall that dominates the probe kernel.
+
+    Probe derivation note: an odd-step LINEAR in-block probe (start + j·step)
+    was measured 200× worse than the Poisson-mixture prediction — two keys
+    sharing (start, step), probability 2^-17 per pair, collide in ALL k bits,
+    a structured floor of λ·2^-17 on the FPR. k independent multiplicative
+    remixes of h2 have no such floor (within-key offset birthday collisions
+    merely shave effective k: ~k²/2B ≈ 10% chance one pair of the 10 probes
+    coincides, a negligible FPR uplift).
+
+    Cost: for the same m the FPR is worse than the classic layout because
+    block loads are Poisson-skewed — ``marginal_fpr`` computes the honest
+    blocked figure (the Poisson mixture over block loads, eq. 3 of the
+    paper) instead of the classic formula. At this engine's default
+    p=1e-6 geometry the blocked FPR lands ~1e-5: still far below any
+    dedup-relevant threshold. ``capacity``/``n`` keep the classic nominal
+    meaning (documented approximation).
+
+    Everything else — batched first-occurrence semantics, merge (bitwise OR
+    of equal-geometry arrays), serialization, popcount/estimate — is
+    inherited unchanged; only the probe-index geometry differs. ``kind``
+    differs, so merges can never silently mix layouts.
+    """
+
+    kind = "bloom_blocked"
+
+    def __init__(
+        self,
+        p: float = DEFAULT_FPR,
+        n: int | None = None,
+        *,
+        m: int | None = None,
+        k: int | None = None,
+        seeds: tuple[int, int] = (SEED_A, SEED_B),
+    ):
+        super().__init__(p, n, m=m, k=k, seeds=seeds)
+        if self.k > BLOCK_BITS:
+            raise ValueError(f"k={self.k} exceeds block size {BLOCK_BITS}")
+        # round m UP to whole cache lines; addressing is per-block, so the
+        # pow2 fast path keys off the BLOCK count
+        self.n_blocks = (self.m + BLOCK_BITS - 1) // BLOCK_BITS
+        self.m = self.n_blocks * BLOCK_BITS
+        self._pow2 = (self.n_blocks & (self.n_blocks - 1)) == 0
+        self._mask = np.uint64(self.n_blocks - 1) if self._pow2 else None
+        self._bits = np.zeros(self.m // 64, dtype=np.uint64)
+        # k fixed odd multiplicative-probe constants (splitmix64 of j | 1):
+        # deterministic in k, so equal-(m,k,seeds) filters probe identically
+        # and merge/serialization stay geometry-compatible
+        self._probe_mul = np.array(
+            [_splitmix64(j) | 1 for j in range(self.k)], dtype=np.uint64
+        )
+
+    #: key-major (n, k) indices: a key's k probes are CONSECUTIVE in memory
+    #: order, so the gather/scatter hits its one cache line k times in a row
+    #: (1 DRAM fetch + k-1 L1 hits). In probe-major (k, n) order — measured
+    #: first — the line is evicted between probe rows and blocked ran SLOWER
+    #: than classic (33-40 s vs 22-35 s on the 16M-key microbench).
+    _probe_axis = 1
+
+    def _indices(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        """(n, k) probe indices, all k confined to h1's 512-bit block."""
+        # Remix h1 before block selection (murmur3 fmix64). The shard router
+        # upstream partitions keys by h1 mod P, so a shard sees only h1
+        # values sharing their low bits — selecting blocks from raw h1 & mask
+        # would concentrate every key into 1/P of the blocks (measured: 16
+        # shards inflated dups_marked by 16k false positives at 16M turns).
+        # The classic layout tolerates the bias (only probe 0 is affected);
+        # the blocked layout's entire geometry rides on this one value.
+        with np.errstate(over="ignore"):
+            x = h1 ^ (h1 >> np.uint64(33))
+            x = x * np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(33)
+            x = x * np.uint64(0xC4CEB9FE1A85EC53)
+            x ^= x >> np.uint64(33)
+        if self._pow2:
+            blk = x & self._mask
+        else:
+            blk = x % np.uint64(self.n_blocks)
+        # top-9-bit multiplicative hash per probe; uint64 multiply wraps mod
+        # 2^64 by design
+        with np.errstate(over="ignore"):
+            bit = (h2[:, None] * self._probe_mul) >> np.uint64(
+                64 - BLOCK_BITS.bit_length() + 1
+            )
+        return blk[:, None] * np.uint64(BLOCK_BITS) + bit
+
+    def marginal_fpr(self, n_items: int | None = None) -> float:
+        """Blocked FPR: Poisson mixture over block loads — a block holding i
+        keys is a local (512, k) filter with i inserts, and loads are
+        Poisson(n·512/m) across blocks (Putze et al. 2007, eq. 3)."""
+        n = self.n_added if n_items is None else n_items
+        lam = n * BLOCK_BITS / self.m
+        hi = min(100_000, int(lam + 12.0 * math.sqrt(lam + 1.0) + 30.0))
+        total, p_i = 0.0, math.exp(-lam)
+        for i in range(hi):
+            local = (1.0 - math.exp(-self.k * i / BLOCK_BITS)) ** self.k
+            total += p_i * local
+            p_i *= lam / (i + 1)
+        return total

@@ -41,7 +41,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..hashing import SEED_A, SEED_B, hash_pair_batch
-from ..sketches.bloom import BloomFilter
+from ..sketches.bloom import BlockedBloomFilter, BloomFilter
 
 KEY_H1 = "__key_h1"
 KEY_H2 = "__key_h2"
@@ -163,11 +163,17 @@ class _BloomShard:
         m: int | None = None,
         k: int | None = None,
         seeds=(SEED_A, SEED_B),
+        blocked: bool = False,
     ):
+        # blocked: cache-line-blocked probe layout (sketches/bloom.py
+        # BlockedBloomFilter) — 1 DRAM line per key instead of k; slightly
+        # higher FPR at equal m (the shard's stats() report the honest
+        # blocked marginal_fpr). Opt-in; default layout is unchanged.
+        cls = BlockedBloomFilter if blocked else BloomFilter
         if m is not None and k is not None:
-            self.bf = BloomFilter(p, m=m, k=k, seeds=seeds)
+            self.bf = cls(p, m=m, k=k, seeds=seeds)
         else:
-            self.bf = BloomFilter(p, capacity, seeds=seeds)
+            self.bf = cls(p, capacity, seeds=seeds)
         import collections
 
         self.keys_seen = 0
@@ -216,12 +222,7 @@ class _BloomShard:
         return was_new
 
     def contains(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        idx = self.bf._indices(
-            np.ascontiguousarray(h1, np.uint64), np.ascontiguousarray(h2, np.uint64)
-        )
-        word = (idx >> np.uint64(6)).astype(np.int64)
-        bit = np.uint64(1) << (idx & np.uint64(63))
-        return ((self.bf._bits[word] & bit) != 0).all(axis=0)
+        return self.bf.contains_hashed(h1, h2)
 
     def stats(self) -> dict:
         return {
@@ -265,6 +266,7 @@ def make_shard_actors(
     mem: str | None = None,
     seeds=(SEED_A, SEED_B),
     num_cpus: float = 0,
+    blocked: bool = False,
 ):
     """Create the P Bloom shard actors.
 
@@ -285,7 +287,7 @@ def make_shard_actors(
     from ..sketches.bloom import DEFAULT_MEM_K, parse_memspec
 
     Actor = ray.remote(num_cpus=num_cpus)(_BloomShard)
-    kwargs: dict = {"seeds": seeds}
+    kwargs: dict = {"seeds": seeds, "blocked": blocked}
     if mem is not None:
         total_m = 8 * parse_memspec(mem)
         per_m = total_m // num_shards
