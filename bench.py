@@ -593,15 +593,21 @@ def scaling() -> dict:
     _ensure_light_direct(SCALING_LIGHT_TURNS, 2048)
     ray.shutdown()
 
-    # Full-payload pairs run PINNED shard counts (max(4, lo//2) per pair):
-    # both levels of a pair run the byte-identical job — same shard count,
-    # same per-shard bitset geometry — so the ratio measures engine scaling,
-    # not state-topology differences (round-3 advice #1). The pinned value is
-    # the lo level's natural count; shard actors hold num_cpus=0 so neither
-    # level is starved by the choice.
+    # Full-payload pairs run PINNED shard counts: both levels of a pair run
+    # the byte-identical job — same shard count, same per-shard bitset
+    # geometry — so the ratio measures engine scaling, not state-topology
+    # differences (round-3 advice #1). The pin is the HI level's natural
+    # count (max(pair)//2), NOT the lo's: shard actors are the job's state
+    # parallelism, and pinning at the lo count caps the hi level on a
+    # single-threaded per-shard kernel floor (measured: 4-shard pin put
+    # 16cpu AND 32cpu at a flat ~35 s ≈ 16M keys/shard ÷ 0.7M keys/s,
+    # reading 0.41/0.29 efficiency on a job whose state layer was sized for
+    # 4 CPUs). Extra actors at the lo level just interleave on fewer cores
+    # (they hold num_cpus=0), which is exactly what a real cluster does when
+    # state partitions outnumber cores.
     results, pairs = {}, {}
     for lo, hi in ((4, 16), (8, 32)):
-        shards = max(4, lo // 2)
+        shards = max(4, hi // 2)
         for c in (lo, hi):
             if (c, shards) not in results:
                 results[(c, shards)] = run(c, num_shards=shards)

@@ -50,6 +50,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(the reference's stream-order invariant; costs one range sort)",
     )
     ap.add_argument("--num-shards", type=int, default=8)
+    ap.add_argument(
+        "--bloom-blocked",
+        action="store_true",
+        help="cache-line-blocked Bloom probe layout (~2x probe kernel on "
+        "DRAM-sized filters; slightly higher FPR at equal memory — the "
+        "capacity report shows the honest blocked figure)",
+    )
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--wave-size", type=int, default=8)
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -128,6 +135,7 @@ def main(argv=None) -> int:
                 scope=scope,
                 remove_duplicates=args.remove_duplicates,
                 allow_overcapacity=args.allow_overcapacity,
+                bloom_blocked=args.bloom_blocked,
             )
             metrics = manifest["metrics"]
         else:
@@ -145,6 +153,7 @@ def main(argv=None) -> int:
                 remove_duplicates=args.remove_duplicates,
                 strip_previous=args.strip_previous,
                 materialize=True,
+                bloom_blocked=args.bloom_blocked,
             )
             # capacity check FIRST (marking already ran via materialize=True):
             # a CapacityExceeded aborts before any output is written; with

@@ -108,6 +108,7 @@ def mark_duplicates(
     seeds: tuple[int, int] = (SEED_A, SEED_B),
     shards: list | None = None,
     materialize: bool = False,
+    bloom_blocked: bool = False,
 ) -> MarkResult:
     """Mark duplicate turns with a partitioned Bloom filter.
 
@@ -149,6 +150,9 @@ def mark_duplicates(
             total_capacity=total_capacity,
             mem=mem,
             seeds=seeds,
+            # cache-line-blocked probe layout (see sketches/bloom.py
+            # BlockedBloomFilter): same dedup semantics, ~2x probe kernel
+            blocked=bloom_blocked,
         )
     else:
         # pre-loaded shards (wave/checkpoint driver): the reuse is

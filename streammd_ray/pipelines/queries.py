@@ -217,38 +217,56 @@ SELECT conv_id, turn_idx, role, text FROM (
 
 
 def q_dedup_bloom_metrics(sf_dir: str):
-    """The flagship's metrics through the REAL sharded-Bloom path.
+    """The flagship's metrics through the REAL sharded-Bloom path — once per
+    probe layout (classic and cache-line-blocked), so BOTH layouts carry a
+    driver-recorded oracle row.
 
     p=1e-9 so the expected false-positive count at validation scale is ~1e-5
     — the aggregate counters then equal the exact-dedup counts and the query
     is oracle-checkable despite the probabilistic engine underneath."""
+    import pandas as pd
+
     from .mark_duplicates import compute_metrics, mark_duplicates
 
-    ds = transcripts_ds(sf_dir)
-    res = mark_duplicates(ds, p=1e-9, num_shards=4, materialize=True)
-    m = compute_metrics(res.marked)
-    res.release()
-    return _one_row(
-        {
-            "turns": int(m["TURNS"]),
-            "turns_null_text": int(m["TURNS_NULL_TEXT"]),
-            "turns_marked_duplicate": int(m["TURNS_MARKED_DUPLICATE"]),
-            "conversations": int(m["CONVERSATIONS"]),
-            "turn_duplicate_fraction": float(m["TURN_DUPLICATE_FRACTION"]),
-        }
-    )
+    rows = []
+    for layout, blocked in (("classic", False), ("blocked", True)):
+        res = mark_duplicates(
+            transcripts_ds(sf_dir),
+            p=1e-9,
+            num_shards=4,
+            materialize=True,
+            bloom_blocked=blocked,
+        )
+        m = compute_metrics(res.marked)
+        res.release()
+        rows.append(
+            {
+                "bloom_layout": layout,
+                "turns": int(m["TURNS"]),
+                "turns_null_text": int(m["TURNS_NULL_TEXT"]),
+                "turns_marked_duplicate": int(m["TURNS_MARKED_DUPLICATE"]),
+                "conversations": int(m["CONVERSATIONS"]),
+                "turn_duplicate_fraction": float(m["TURN_DUPLICATE_FRACTION"]),
+            }
+        )
+    return pd.DataFrame(rows)
 
 
 def sql_dedup_bloom_metrics() -> str:
-    return f"""{T_CTE}
-SELECT
-  count(*) AS turns,
-  count(*) FILTER (WHERE text IS NULL) AS turns_null_text,
-  count(text) - count(DISTINCT text) AS turns_marked_duplicate,
-  count(DISTINCT conv_id) AS conversations,
-  round((count(text) - count(DISTINCT text)) / CAST(count(text) AS DOUBLE), 4)
-    AS turn_duplicate_fraction
-FROM transcripts"""
+    return f"""{T_CTE},
+m AS (
+  SELECT
+    count(*) AS turns,
+    count(*) FILTER (WHERE text IS NULL) AS turns_null_text,
+    count(text) - count(DISTINCT text) AS turns_marked_duplicate,
+    count(DISTINCT conv_id) AS conversations,
+    round((count(text) - count(DISTINCT text)) / CAST(count(text) AS DOUBLE), 4)
+      AS turn_duplicate_fraction
+  FROM transcripts
+)
+SELECT 'classic' AS bloom_layout, * FROM m
+UNION ALL
+SELECT 'blocked' AS bloom_layout, * FROM m"""
 
 
 # ---------------------------------------------------------------------------

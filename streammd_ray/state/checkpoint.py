@@ -63,9 +63,12 @@ def run_with_checkpoint(
     scope: str = "global",
     remove_duplicates: bool = False,
     allow_overcapacity: bool = False,
+    bloom_blocked: bool = False,
 ) -> dict:
     """Run (or resume) the checkpointed mark-duplicates job. Returns the
-    final manifest including accumulated metrics."""
+    final manifest including accumulated metrics. ``bloom_blocked`` selects
+    the cache-line-blocked probe layout; shard snapshots pickle the filter
+    object, so resumes restore whichever layout the run started with."""
     import ray
     import ray.data as rd
 
@@ -91,6 +94,7 @@ def run_with_checkpoint(
         "remove_duplicates": remove_duplicates,
         "engine_version": __version__,
         "hasher": HASHER_ID,
+        "bloom_blocked": bloom_blocked,
     }
 
     manifest = _load_manifest(ckpt_dir)
@@ -110,7 +114,8 @@ def run_with_checkpoint(
         }
 
     shards = make_shard_actors(
-        num_shards, p=p, total_capacity=total_capacity, mem=mem
+        num_shards, p=p, total_capacity=total_capacity, mem=mem,
+        blocked=bloom_blocked,
     )
 
     # resume: restore shard state from the last completed wave

@@ -149,6 +149,70 @@ def test_probe_constants_deterministic():
     assert np.array_equal(a._indices(h1, h2), b._indices(h1, h2))
 
 
+def test_mark_duplicates_blocked_agrees_with_classic(ray_session, tmp_path):
+    """mark_duplicates(bloom_blocked=True) end-to-end on generated data:
+    identical metrics to the classic layout (at p=1e-9 neither layout can
+    plausibly produce a false positive on 12k keys)."""
+    from streammd_ray.pipelines import compute_metrics, mark_duplicates
+    from streammd_ray.sources import generate_transcripts
+    import ray.data as rd
+
+    out = str(tmp_path / "gen")
+    paths, truth = generate_transcripts(
+        out, n_turns=12_000, seed=31, dup_frac=0.3, n_files=4, return_truth=True
+    )
+    truth = truth.to_pandas()
+    metrics = {}
+    for blocked in (False, True):
+        res = mark_duplicates(
+            rd.read_parquet(paths),
+            p=1e-9,
+            num_shards=4,
+            materialize=True,
+            bloom_blocked=blocked,
+        )
+        metrics[blocked] = compute_metrics(res.marked)
+        res.release()
+    assert metrics[True] == metrics[False]
+    assert metrics[True]["TURNS_MARKED_DUPLICATE"] == int(
+        truth["is_duplicate"].sum()
+    )
+
+
+def test_checkpoint_resume_guards_blocked_flag(ray_session, tmp_path):
+    """A checkpointed run records bloom_blocked in its config fingerprint;
+    resuming with the other layout must refuse (the shard snapshots are
+    layout-specific bit arrays)."""
+    from streammd_ray.sources import generate_transcripts
+    from streammd_ray.state import run_with_checkpoint
+
+    out = str(tmp_path / "gen")
+    paths, _ = generate_transcripts(
+        out, n_turns=2_000, seed=32, dup_frac=0.2, n_files=2, return_truth=True
+    )
+    ckpt = str(tmp_path / "ckpt")
+    manifest = run_with_checkpoint(
+        paths,
+        ckpt_dir=ckpt,
+        out_dir=str(tmp_path / "out"),
+        wave_size=1,
+        p=1e-9,
+        num_shards=2,
+        bloom_blocked=True,
+    )
+    assert manifest["config"]["bloom_blocked"] is True
+    with pytest.raises(ValueError, match="mismatch"):
+        run_with_checkpoint(
+            paths,
+            ckpt_dir=ckpt,
+            out_dir=str(tmp_path / "out2"),
+            wave_size=1,
+            p=1e-9,
+            num_shards=2,
+            bloom_blocked=False,
+        )
+
+
 def test_shard_actor_blocked_construction():
     """_BloomShard(blocked=True) builds the blocked layout and reports the
     blocked marginal FPR through stats() — the make_shard_actors plumbing."""
