@@ -59,6 +59,30 @@ def _host_busy_fraction(interval: float = 0.5) -> float:
     return round(1.0 - (i1 - i0) / max(t1 - t0, 1), 3)
 
 
+def _mem_bandwidth_probe(size_mb: int = 256) -> float:
+    """Single-core DRAM stream bandwidth (GB/s): timed out-of-cache numpy
+    copies. The complement to the steal meter — a hypervisor neighbor
+    saturating this socket's memory controllers steals BANDWIDTH without
+    stealing CPU, so steal/busy/loadavg all read clean while every
+    memory-bound stage (the Bloom probe kernel, Arrow scans) runs 1.5-2x
+    slow. Recording the probe at process start and after every rep makes
+    those windows attributable instead of looking like engine regressions
+    (observed here: lo-CPU levels 40% FASTER than a prior round while
+    hi-CPU levels were 50% slower at identical topology — impossible from
+    code, diagnostic of an aggregate-bandwidth cap)."""
+    import numpy as np
+
+    a = np.ones(size_mb * 131_072, dtype=np.float64)  # size_mb MiB
+    b = np.empty_like(a)
+    np.copyto(b, a)  # page-fault b outside the timer
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        np.copyto(b, a)
+    dt = time.perf_counter() - t0
+    return round(2 * a.nbytes * n / dt / 1e9, 2)  # read a + write b
+
+
 class _StealMeter:
     """CPU-steal fraction across a timed region.
 
@@ -80,6 +104,7 @@ class _StealMeter:
 # measured once at import (= process start, before ray.init / table gen /
 # page-cache warm add our own noise)
 _HOST_BUSY_AT_START = _host_busy_fraction() if os.name == "posix" else 0.0
+_MEM_BW_AT_START = _mem_bandwidth_probe() if os.name == "posix" else 0.0
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "16000000"))
 # the scaling criterion needs a job big enough to saturate the low CPU level
@@ -458,7 +483,7 @@ def single_run(include_queries: bool = True) -> dict:
         # START (before our own work), plus the 1-min loadavg for context.
         load_before = os.getloadavg()[0]
         busy_at_start = _HOST_BUSY_AT_START
-        steals = []
+        steals, membws = [], []
         meter = _StealMeter()
         rep_i = 0
         while rep_i < reps:
@@ -484,6 +509,7 @@ def single_run(include_queries: bool = True) -> dict:
                 lambda: headline(num_shards, data_dir, shards, num_blocks=nb)
             )
             steals.append(meter.stop())
+            membws.append(_mem_bandwidth_probe(128))  # outside the timer
             times.append(t_head)
             summary = summarize(flagship_out)  # diagnostics, outside the timer
             t0 = time.monotonic()
@@ -518,6 +544,8 @@ def single_run(include_queries: bool = True) -> dict:
             "loadavg_1min_start": round(load_before, 2),
             "host_busy_at_start": busy_at_start,
             "cpu_steal_per_rep": steals,
+            "mem_bw_gbs_start": _MEM_BW_AT_START,
+            "mem_bw_gbs_per_rep": membws,
             "clean_reps_sec": [round(t, 3) for t in clean_times],
             "table_fingerprint": _table_fingerprint(data_dir),
             "gen_seed": 42,
@@ -620,6 +648,8 @@ def scaling() -> dict:
             "num_shards": shards,
             "steal_lo": r_lo.get("cpu_steal_per_rep"),
             "steal_hi": r_hi.get("cpu_steal_per_rep"),
+            "mem_bw_lo": r_lo.get("mem_bw_gbs_per_rep"),
+            "mem_bw_hi": r_hi.get("mem_bw_gbs_per_rep"),
             "efficiency": round((r_lo["value"] / r_hi["value"]) / (hi / lo), 3),
         }
     # payload-light 8→32: same job, same rows, text payload replaced by the
@@ -638,6 +668,8 @@ def scaling() -> dict:
         "num_shards": "level-scaled (4@8cpu, 16@32cpu)",
         "steal_lo": light[8].get("cpu_steal_per_rep"),
         "steal_hi": light[32].get("cpu_steal_per_rep"),
+        "mem_bw_lo": light[8].get("mem_bw_gbs_per_rep"),
+        "mem_bw_hi": light[32].get("mem_bw_gbs_per_rep"),
         "efficiency": round((light[8]["value"] / light[32]["value"]) / 4.0, 3),
     }
     tainted = any(
