@@ -111,6 +111,14 @@ BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "16000000"))
 # well past fixed overheads; 4x the plain-bench size, 256 files so every
 # parallelism level gets well-shaped fused read tasks
 SCALING_TURNS = int(os.environ.get("SCALING_TURNS", "64000000"))
+# The bench runs the engine's fastest configuration by default: the
+# cache-line-blocked Bloom probe layout (BlockedBloomFilter). Output is
+# bit-identical to the classic layout at bench scale (regression-tested) and
+# every JSON line carries `bloom_layout` so records across rounds stay
+# attributable; BENCH_BLOOM_BLOCKED=0 selects the classic layout for A/B.
+BLOOM_BLOCKED = os.environ.get("BENCH_BLOOM_BLOCKED", "1").lower() not in (
+    "", "0", "false", "no",
+)
 
 
 def _ensure(n_turns: int, n_files: int = 64) -> str:
@@ -496,7 +504,7 @@ def single_run(include_queries: bool = True) -> dict:
                 # cache-line-blocked probe layout (BlockedBloomFilter): all k
                 # probes of a key in one 64-byte line — opt-in A/B knob for
                 # the DRAM-latency-bound probe kernel
-                blocked=bool(os.environ.get("BENCH_BLOOM_BLOCKED")),
+                blocked=BLOOM_BLOCKED,
             )
             ray.get([s.stats.remote() for s in shards])
             if trace:
@@ -551,8 +559,7 @@ def single_run(include_queries: bool = True) -> dict:
             "gen_seed": 42,
             **summary,
         }
-        if os.environ.get("BENCH_BLOOM_BLOCKED"):
-            out["bloom_blocked"] = True
+        out["bloom_layout"] = "blocked" if BLOOM_BLOCKED else "classic"
         if busy_at_start > 0.15 or not clean_times:
             out["tainted"] = True
             print(
@@ -678,6 +685,7 @@ def scaling() -> dict:
     out = {
         "metric": "scaling_efficiency",
         "turns": next(iter(results.values()))["turns"],
+        "bloom_layout": "blocked" if BLOOM_BLOCKED else "classic",
         "pairs": pairs,
         # headline pair: N=4 vs 4N=16 — see BASELINE.md for why the 8→32
         # pair on one socket under-reports what 4 real nodes would deliver
