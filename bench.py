@@ -112,12 +112,19 @@ BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "16000000"))
 # parallelism level gets well-shaped fused read tasks
 SCALING_TURNS = int(os.environ.get("SCALING_TURNS", "64000000"))
 # The bench runs the engine's fastest configuration by default: the
-# cache-line-blocked Bloom probe layout (BlockedBloomFilter). Output is
-# bit-identical to the classic layout at bench scale (regression-tested) and
-# every JSON line carries `bloom_layout` so records across rounds stay
-# attributable; BENCH_BLOOM_BLOCKED=0 selects the classic layout for A/B.
-BLOOM_BLOCKED = os.environ.get("BENCH_BLOOM_BLOCKED", "1").lower() not in (
-    "", "0", "false", "no",
+# split-block Bloom probe layout (SplitBlockBloomFilter + the native C
+# kernel, sketches/_native.py). Output is bit-identical to the classic
+# layout at bench scale up to the layouts' (negligible, modelled) FPR
+# difference, and every JSON line carries `bloom_layout` so records across
+# rounds stay attributable. BENCH_BLOOM_LAYOUT=classic|blocked|split picks
+# explicitly for A/B; legacy BENCH_BLOOM_BLOCKED=1/0 still means
+# blocked/classic when BENCH_BLOOM_LAYOUT is unset.
+_blocked_env = os.environ.get("BENCH_BLOOM_BLOCKED")
+BLOOM_LAYOUT = os.environ.get(
+    "BENCH_BLOOM_LAYOUT",
+    "split" if _blocked_env is None
+    else ("blocked" if _blocked_env.lower() not in ("", "0", "false", "no")
+          else "classic"),
 )
 
 
@@ -397,7 +404,9 @@ def _warm_cluster(ncpu: int) -> None:
 
         import streammd_ray.pipelines.flagship  # noqa: F401
         import streammd_ray.stages.dedup  # noqa: F401
+        from streammd_ray.sketches._native import get_kernels
 
+        get_kernels()  # compile/load the C probe kernel once per host
         return batch
 
     rd.range(ncpu * 2, override_num_blocks=ncpu * 2).map_batches(
@@ -501,10 +510,9 @@ def single_run(include_queries: bool = True) -> dict:
                 num_shards,
                 p=1e-6,
                 mem=os.environ.get("BENCH_BLOOM_MEM", "256MiB"),
-                # cache-line-blocked probe layout (BlockedBloomFilter): all k
-                # probes of a key in one 64-byte line — opt-in A/B knob for
-                # the DRAM-latency-bound probe kernel
-                blocked=BLOOM_BLOCKED,
+                # probe layout A/B knob (BENCH_BLOOM_LAYOUT): classic /
+                # blocked / split — see sketches/bloom.py for the geometry
+                layout=BLOOM_LAYOUT,
             )
             ray.get([s.stats.remote() for s in shards])
             if trace:
@@ -559,7 +567,7 @@ def single_run(include_queries: bool = True) -> dict:
             "gen_seed": 42,
             **summary,
         }
-        out["bloom_layout"] = "blocked" if BLOOM_BLOCKED else "classic"
+        out["bloom_layout"] = BLOOM_LAYOUT
         if busy_at_start > 0.15 or not clean_times:
             out["tainted"] = True
             print(
@@ -685,7 +693,7 @@ def scaling() -> dict:
     out = {
         "metric": "scaling_efficiency",
         "turns": next(iter(results.values()))["turns"],
-        "bloom_layout": "blocked" if BLOOM_BLOCKED else "classic",
+        "bloom_layout": BLOOM_LAYOUT,
         "pairs": pairs,
         # headline pair: N=4 vs 4N=16 — see BASELINE.md for why the 8→32
         # pair on one socket under-reports what 4 real nodes would deliver

@@ -53,9 +53,19 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--bloom-blocked",
         action="store_true",
-        help="cache-line-blocked Bloom probe layout (~2x probe kernel on "
-        "DRAM-sized filters; slightly higher FPR at equal memory — the "
-        "capacity report shows the honest blocked figure)",
+        help="cache-line-blocked Bloom probe layout (shorthand for "
+        "--bloom-layout blocked)",
+    )
+    ap.add_argument(
+        "--bloom-layout",
+        choices=("classic", "blocked", "split"),
+        default=None,
+        help="Bloom probe geometry: classic = reference double-hashing "
+        "(default); blocked = all k probes in one cache line; split = "
+        "one bit per 64-bit lane of the line (fastest kernel, structural "
+        "k=8). Non-classic layouts trade a documented FPR model shift for "
+        "probe speed — the capacity report always shows the layout's "
+        "honest marginal FPR",
     )
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--wave-size", type=int, default=8)
@@ -136,6 +146,7 @@ def main(argv=None) -> int:
                 remove_duplicates=args.remove_duplicates,
                 allow_overcapacity=args.allow_overcapacity,
                 bloom_blocked=args.bloom_blocked,
+                bloom_layout=args.bloom_layout,
             )
             metrics = manifest["metrics"]
         else:
@@ -154,6 +165,7 @@ def main(argv=None) -> int:
                 strip_previous=args.strip_previous,
                 materialize=True,
                 bloom_blocked=args.bloom_blocked,
+                bloom_layout=args.bloom_layout,
             )
             # capacity check FIRST (marking already ran via materialize=True):
             # a CapacityExceeded aborts before any output is written; with

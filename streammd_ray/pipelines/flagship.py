@@ -228,6 +228,13 @@ def run_flagship(
     for row in partials.take_all():
         by_name.setdefault(row["sketch"], []).append(row["state"])
     _mark_phase("plan+execute+take_all")
+    if _trace:
+        # per-operator wall/cpu breakdown of the fused pass — the scaling
+        # diagnosis tool (which stage stops scaling with cores)
+        try:
+            print(partials.stats(), file=_sys.stderr)
+        except Exception:
+            pass
     counts = [pickle.loads(s) for s in by_name.pop("__counts")]
     counters = {
         "turns": sum(c[0] for c in counts),

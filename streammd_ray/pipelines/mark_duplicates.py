@@ -109,6 +109,7 @@ def mark_duplicates(
     shards: list | None = None,
     materialize: bool = False,
     bloom_blocked: bool = False,
+    bloom_layout: str | None = None,
 ) -> MarkResult:
     """Mark duplicate turns with a partitioned Bloom filter.
 
@@ -150,9 +151,11 @@ def mark_duplicates(
             total_capacity=total_capacity,
             mem=mem,
             seeds=seeds,
-            # cache-line-blocked probe layout (see sketches/bloom.py
-            # BlockedBloomFilter): same dedup semantics, ~2x probe kernel
+            # probe layout: classic / blocked / split (sketches/bloom.py) —
+            # same dedup semantics, different kernel shape; layout string
+            # wins, bloom_blocked kept for pre-layout callers
             blocked=bloom_blocked,
+            layout=bloom_layout,
         )
     else:
         # pre-loaded shards (wave/checkpoint driver): the reuse is

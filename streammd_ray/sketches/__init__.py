@@ -4,7 +4,14 @@ filter (/root/reference/src/bloomfilter.h) into partition-parallel,
 tree-mergeable form."""
 
 from .base import Sketch, SketchError, merge_all
-from .bloom import BlockedBloomFilter, BloomFilter, capacity, m_k_min, parse_memspec
+from .bloom import (
+    BlockedBloomFilter,
+    BloomFilter,
+    SplitBlockBloomFilter,
+    capacity,
+    m_k_min,
+    parse_memspec,
+)
 from .cms import CountMinSketch
 from .hll import HyperLogLog
 from .kll import KLL
@@ -17,6 +24,7 @@ __all__ = [
     "merge_all",
     "BlockedBloomFilter",
     "BloomFilter",
+    "SplitBlockBloomFilter",
     "capacity",
     "m_k_min",
     "parse_memspec",

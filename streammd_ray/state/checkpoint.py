@@ -64,11 +64,14 @@ def run_with_checkpoint(
     remove_duplicates: bool = False,
     allow_overcapacity: bool = False,
     bloom_blocked: bool = False,
+    bloom_layout: str | None = None,
 ) -> dict:
     """Run (or resume) the checkpointed mark-duplicates job. Returns the
-    final manifest including accumulated metrics. ``bloom_blocked`` selects
-    the cache-line-blocked probe layout; shard snapshots pickle the filter
-    object, so resumes restore whichever layout the run started with."""
+    final manifest including accumulated metrics. ``bloom_layout`` (or the
+    legacy ``bloom_blocked`` flag) selects the probe layout; shard
+    snapshots pickle the filter object, so resumes restore whichever layout
+    the run started with, and the manifest pins the layout so a resume with
+    a different flag fails loudly instead of mixing geometries."""
     import ray
     import ray.data as rd
 
@@ -95,6 +98,7 @@ def run_with_checkpoint(
         "engine_version": __version__,
         "hasher": HASHER_ID,
         "bloom_blocked": bloom_blocked,
+        "bloom_layout": bloom_layout,
     }
 
     manifest = _load_manifest(ckpt_dir)
@@ -115,7 +119,7 @@ def run_with_checkpoint(
 
     shards = make_shard_actors(
         num_shards, p=p, total_capacity=total_capacity, mem=mem,
-        blocked=bloom_blocked,
+        blocked=bloom_blocked, layout=bloom_layout,
     )
 
     # resume: restore shard state from the last completed wave
