@@ -108,9 +108,10 @@ _MEM_BW_AT_START = _mem_bandwidth_probe() if os.name == "posix" else 0.0
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_TURNS = int(os.environ.get("BENCH_TURNS", "16000000"))
 # the scaling criterion needs a job big enough to saturate the low CPU level
-# well past fixed overheads; 4x the plain-bench size, 256 files so every
-# parallelism level gets well-shaped fused read tasks
-SCALING_TURNS = int(os.environ.get("SCALING_TURNS", "64000000"))
+# well past fixed overheads; 8x the plain-bench size, 256 files so every
+# parallelism level gets well-shaped fused read tasks (rescaled from 64M —
+# see the SCALING_LIGHT_TURNS note)
+SCALING_TURNS = int(os.environ.get("SCALING_TURNS", "128000000"))
 # The bench runs the engine's fastest configuration by default: the
 # split-block Bloom probe layout (SplitBlockBloomFilter + the native C
 # kernel, sketches/_native.py). Output is bit-identical to the classic
@@ -183,19 +184,25 @@ def timed(fn):
     return time.perf_counter() - t0, out
 
 
-SCALING_LIGHT_TURNS = int(os.environ.get("SCALING_LIGHT_TURNS", "512000000"))
+# Round-4 rescale: the split-block native kernel + pre-aggregated sketch
+# tail made the engine ~3-4x faster per level, so the 512M-row light table
+# (16 s at 32 CPUs) and the 64M full table (6 s) stopped dwarfing the
+# parallelism-independent floor (executor ramp, 8-wave task quantization,
+# driver merge — ~2-8 s) and the ratio under-read real scaling. 1B light /
+# 128M full restore compute-dominated levels at every CPU count.
+SCALING_LIGHT_TURNS = int(os.environ.get("SCALING_LIGHT_TURNS", "1024000000"))
 
 
 def _ensure_light_direct(n_turns: int, n_shards: int = 256) -> str:
     """Payload-light table synthesized DIRECTLY at scale: each Ray task
     generates its transcript shard (same generator, same distribution as the
     full table), hashes the text, and writes only the fixed-width light
-    columns — the 160 GB text intermediate never exists on disk. 512M rows
-    (8x the full-payload scaling table) keeps the light 8→32 pair
-    compute-dominated: at 64M rows the job finishes in ~9 s at 32 CPUs and
-    the ~5 s parallelism-independent floor (actor spawn sync, driver
-    partial-merge, read-task floor) swamps the ratio — a floor any real
-    hours-long 100-TB job amortizes to nothing."""
+    columns — the text intermediate (~320 GB at 1B rows) never exists on
+    disk. The size keeps the light 8→32 pair compute-dominated: at 64M rows
+    the job finishes in ~9 s at 32 CPUs and the parallelism-independent
+    floor (actor spawn sync, driver partial-merge, read-task floor) swamps
+    the ratio — a floor any real hours-long 100-TB job amortizes to
+    nothing."""
     out = f"/tmp/streammd_bench/light-{n_turns}"
     marker = os.path.join(out, "_DONE")
     if not os.path.exists(marker):
@@ -483,7 +490,12 @@ def single_run(include_queries: bool = True) -> dict:
             NUM_CPUS,
             n_files,
             n_turns,
-            rows_per_block=2_000_000 if light_child else 500_000,
+            rows_per_block=int(
+                os.environ.get(
+                    "BENCH_ROWS_PER_BLOCK",
+                    2_000_000 if light_child else 500_000,
+                )
+            ),
         )
         reps = int(os.environ.get("BENCH_REPS", "2"))
         # steal-aware retries: hypervisor-neighbor bursts last well under a
@@ -513,6 +525,10 @@ def single_run(include_queries: bool = True) -> dict:
                 # probe layout A/B knob (BENCH_BLOOM_LAYOUT): classic /
                 # blocked / split — see sketches/bloom.py for the geometry
                 layout=BLOOM_LAYOUT,
+                # BENCH_SHARD_NUM_CPUS > 0 reserves cores for the shard
+                # actors (map concurrency shrinks to match) — the
+                # oversubscription-isolation experiment knob
+                num_cpus=float(os.environ.get("BENCH_SHARD_NUM_CPUS", 0)),
             )
             ray.get([s.stats.remote() for s in shards])
             if trace:
@@ -537,15 +553,31 @@ def single_run(include_queries: bool = True) -> dict:
                     f"shard kill: {time.monotonic() - t0:.2f}s",
                     file=sys.stderr,
                 )
-            # every rep so far steal-contaminated → extend the run (bounded)
+            # A rep is clean only if (a) hypervisor steal stayed under 3%
+            # AND (b) the post-rep single-core DRAM-bandwidth probe didn't
+            # collapse — neighbors can starve memory bandwidth while steal
+            # reads 1% (measured: a 1.2%-steal rep at 9.7 GB/s probe vs the
+            # session's 20 GB/s baseline ran 2x slow). Baseline = best
+            # probe seen this process (start value or any rep's).
+            def _rep_clean(s: float, bw: float) -> bool:
+                base = max(
+                    [b for b in (_MEM_BW_AT_START, *membws) if b] or [1.0]
+                )
+                return s <= CLEAN_STEAL and bw >= 0.6 * base
+
+            # every rep so far contaminated → extend the run (bounded)
             if (
                 rep_i == reps
                 and max_extra > 0
-                and not any(s <= CLEAN_STEAL for s in steals)
+                and not any(_rep_clean(s, b) for s, b in zip(steals, membws))
             ):
                 reps += 1
                 max_extra -= 1
-        clean_times = [t for t, s in zip(times, steals) if s <= CLEAN_STEAL]
+        clean_times = [
+            t
+            for t, s, b in zip(times, steals, membws)
+            if _rep_clean(s, b)
+        ]
         scored = clean_times or times
         t_head = statistics.median(scored) if len(scored) > 1 else scored[0]
         out = {
@@ -608,12 +640,13 @@ def scaling() -> dict:
             env.setdefault("BENCH_NUM_SHARDS", str(num_shards))
         if light:
             env["BENCH_LIGHT_CHILD"] = "1"
-            # 512M rows = 403M distinct keys; mem is the TOTAL Bloom budget
-            # split across shards (reference --mem semantics) and needs
-            # 403M x 34.58 bits ≈ 1.74 GB minimum at p=1e-6. 4GiB splits to
-            # exact powers of two at every shard count in use (4/8/16), so
-            # total capacity (994M) — and therefore FPR and dups_marked —
-            # is identical at every level
+            # 1B rows ≈ 790M distinct keys; mem is the TOTAL Bloom budget
+            # split across shards (reference --mem semantics). 4GiB (994M
+            # nominal capacity) splits to exact powers of two at every
+            # shard count in use (4/8/16), so total capacity — and
+            # therefore FPR and dups_marked — is identical at every level;
+            # split-layout marginal FPR at this load is ~7e-7, still under
+            # the p=1e-6 target
             env.setdefault("BENCH_BLOOM_MEM", "4GiB")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

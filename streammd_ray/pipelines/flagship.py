@@ -109,13 +109,44 @@ class SketchTail:
         lens = pc.cast(pc.fill_null(len_src, 0), pa.float64()).to_numpy(
             zero_copy_only=False
         )
+        # Column-level pre-aggregation: one value_counts per source column
+        # feeds every weighted-capable sketch on it. The tail was the map
+        # side's CPU hog (3.56 s per 2M-row block, ~90% of the 512M-turn
+        # job's map CPU) and its inputs are low-cardinality (tool ~51
+        # distinct, __len ~66, conv_id ~30k per block) — value_counts is
+        # ~0.01-0.03 s, after which CMS/SpaceSaving insert with counts,
+        # t-digest with weights, and HLL (multiplicity-insensitive) takes
+        # the distinct values alone. Sketches without a weighted path (KLL)
+        # fall back to the raw column; CMS/HLL states are bit-identical to
+        # unweighted insertion, t-digest centroids differ within its
+        # accuracy model (weighted insertion is its documented merge form).
+        lens_vals, lens_counts = np.unique(lens, return_counts=True)
+        col_vc: dict = {}
+
+        def _vc(col: str):
+            if col not in col_vc:
+                vc = pc.value_counts(batch[col])
+                col_vc[col] = (
+                    vc.field("values"),
+                    vc.field("counts").to_numpy().astype(np.int64),
+                )
+            return col_vc[col]
+
         names, states = [], []
         for name, (col, proto) in self.protos.items():
             sk = pickle.loads(pickle.dumps(proto))
             if col == "__len":
-                sk.insert_batch(np.asarray(lens, dtype=np.float64))
+                try:
+                    sk.insert_batch(lens_vals, lens_counts)
+                except TypeError:  # no weighted path (KLL)
+                    sk.insert_batch(np.asarray(lens, dtype=np.float64))
+            elif getattr(sk, "MULTIPLICITY_INSENSITIVE", False):
+                sk.insert_batch(_vc(col)[0])
             else:
-                sk.insert_batch(batch[col].combine_chunks())
+                try:
+                    sk.insert_batch(*_vc(col))
+                except TypeError:
+                    sk.insert_batch(batch[col].combine_chunks())
             names.append(name)
             states.append(sk.to_bytes())
         names.append("__counts")

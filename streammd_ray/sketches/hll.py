@@ -22,6 +22,11 @@ from .base import Sketch
 class HyperLogLog(Sketch):
     kind = "hll"
 
+    #: register state is a max over hashes — inserting each distinct value
+    #: once yields the identical sketch, so batch stages may pre-aggregate
+    #: (feed value_counts values without the counts)
+    MULTIPLICITY_INSENSITIVE = True
+
     def __init__(self, precision: int = 14, *, seed: int = SEED_A):
         if not (4 <= precision <= 18):
             raise ValueError("precision must be in [4, 18]")
