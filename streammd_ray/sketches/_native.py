@@ -34,7 +34,6 @@ tests, and the escape hatch if a host's toolchain miscompiles).
 from __future__ import annotations
 
 import ctypes
-import fcntl
 import hashlib
 import os
 import subprocess
@@ -206,6 +205,8 @@ _tried = False
 
 def _compile(so_path: str) -> None:
     """Compile the kernel .so under an fcntl lock (one builder per host)."""
+    import fcntl  # posix-only; import here so module import stays portable
+
     os.makedirs(_CACHE_DIR, exist_ok=True)
     lock_path = so_path + ".lock"
     with open(lock_path, "w") as lock:

@@ -157,7 +157,11 @@ LAYOUTS = {
     "classic": lambda: BloomFilter(1e-6, m=2**23, k=10),
     "classic_nonpow2": lambda: BloomFilter(1e-6, m=2**23 - 64, k=10),
     "blocked": lambda: BlockedBloomFilter(1e-6, m=2**23, k=10),
+    # 3 * 2**21 bits → 12288 blocks: exercises the modulus (non-pow2)
+    # block-select path in both the numpy and C kernels
+    "blocked_nonpow2": lambda: BlockedBloomFilter(1e-6, m=3 * 2**21, k=10),
     "split": lambda: SplitBlockBloomFilter(1e-6, m=2**23),
+    "split_nonpow2": lambda: SplitBlockBloomFilter(1e-6, m=3 * 2**21),
 }
 
 
@@ -221,6 +225,21 @@ def test_shard_actor_split_construction():
         resolve_layout("split", blocked=True)
     with pytest.raises(ValueError, match="unknown bloom layout"):
         resolve_layout("sbbf")
+
+
+def test_shard_state_roundtrip_preserves_split_layout():
+    """_BloomShard.state()/load(): the snapshot restores the split layout
+    and its populated bits (the wave-checkpoint resume path)."""
+    from streammd_ray.stages.dedup import _BloomShard
+
+    sh = _BloomShard(1e-6, 0, m=2**20, k=10, layout="split")
+    h1, h2 = _rand_hashes(3_000, 40)
+    assert sh.add(h1, h2).all()
+    st = sh.stats()
+    sh2 = _BloomShard(1e-6, 0, m=2**20, k=10, layout="split")
+    sh2.load(sh.state(), keys_seen=st["keys_seen"], dups=st["dups"])
+    assert isinstance(sh2.bf, SplitBlockBloomFilter)
+    assert not sh2.add(h1, h2).any()
 
 
 def test_mark_duplicates_split_agrees_with_classic(ray_session, tmp_path):
