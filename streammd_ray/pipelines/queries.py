@@ -1080,6 +1080,26 @@ def sql_pack_sequences() -> str:
     return pack_sequences_sql(_PACK_LEN)
 
 
+def q_dedup_spans(sf_dir: str):
+    """Exact substring dedup (Lee et al. 2022, word granularity): every
+    corpus-repeated word 4-gram marks its token positions, overlapping marks
+    merge into spans, spans are cut out of the canonical token stream.
+    Returns the affected docs with (n_tokens, dup_tokens, n_spans,
+    clean_text). Shuffles ship only (doc_id, hash, pos); the explosion is
+    parquet-spilled, never object-store-materialized; span merge is one
+    cython cummax per partition; removal is one diff-array cumsum + one
+    ListArray rebuild per batch."""
+    from ..stages.corpus import span_dedup
+
+    return span_dedup(_docs(sf_dir), n=_DUPGRAM_N)
+
+
+def sql_dedup_spans() -> str:
+    from ..stages.corpus import span_dedup_sql
+
+    return span_dedup_sql(_DUPGRAM_N)
+
+
 def q_token_count_by_source(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -2349,7 +2369,7 @@ QUERIES = {
     "heavy_tools_exact": q_heavy_tools_exact,
     "transcripts_bucket_stats": q_transcripts_bucket_stats,
     "turn_length_quantiles_exact": q_turn_length_quantiles_exact,
-    "latency_quantiles_exact": q_latency_quantiles_exact,
+    "dedup_spans": q_dedup_spans,
     "hll_accuracy": q_hll_accuracy,
     "cms_accuracy": q_cms_accuracy,
     "spacesaving_accuracy": q_spacesaving_accuracy,
@@ -2389,7 +2409,11 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "sample_documents": q_sample_documents,
     "sample_stratified": q_sample_stratified,
-    # --- slot 51: oracle-backed but redundant within its family ---
+    # --- slots 51+: oracle-backed but redundant within their families
+    # (exact-quantiles is driver-covered by turn_length_quantiles_exact and
+    # the kll/tdigest accuracy rows; these two stay oracle-checked in pytest
+    # and available to the judge) ---
+    "latency_quantiles_exact": q_latency_quantiles_exact,
     "event_value_quantiles": q_event_value_quantiles,
     # --- no-oracle queries (pytest property suites + accuracy twins) ---
     "hll_distinct_conversations": q_hll_distinct_conversations,
@@ -2431,6 +2455,7 @@ ORACLES = {
     "doc_repetition_stats": sql_doc_repetition_stats(),
     "decontaminate": sql_decontaminate(),
     "dup_ngram_stats": sql_dup_ngram_stats(),
+    "dedup_spans": sql_dedup_spans(),
     "pack_sequences": sql_pack_sequences(),
     "clean_corpus": sql_clean_corpus(),
     "lang_id": sql_lang_id(),

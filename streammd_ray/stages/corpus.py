@@ -617,3 +617,337 @@ SELECT doc_id, n_tokens, tok_start,
        CAST(tok_start // {chunk_len} AS BIGINT) AS chunk_first,
        CAST((tok_start + n_tokens - 1) // {chunk_len} AS BIGINT) AS chunk_last
 FROM c WHERE n_tokens > 0"""
+
+
+# ---------------------------------------------------------------------------
+# Exact substring (span-level) dedup — the REMOVAL pass of Lee et al. 2022
+# ---------------------------------------------------------------------------
+
+
+def ngram_hashes_pos(
+    text: pa.Array, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Like :func:`ngram_hashes` but also returns each gram's 1-based start
+    position within its document's token stream — the coordinate the span
+    union needs. (hash_u64, parent_row_idx, pos_1based); same vectorized
+    shape (one split, one shifted join, one batch hash, zero per-doc Python).
+    """
+    words, parents = _words(text)
+    total = len(words)
+    if total == 0 or total < n:
+        z64 = np.zeros(0, np.uint64)
+        zi = np.zeros(0, np.int64)
+        return z64, zi, zi.copy()
+    valid = parents[: total - n + 1] == parents[n - 1 :]
+    shifted = [words.slice(j, total - n + 1) for j in range(n)]
+    grams = pc.binary_join_element_wise(*shifted, " ")
+    h = hash64_batch(grams)
+    # 1-based token position of each gram start within its own document:
+    # flat index minus the first flat index of that document's token run
+    first = np.zeros(total, np.int64)
+    if total:
+        starts = np.flatnonzero(np.r_[True, parents[1:] != parents[:-1]])
+        run_id = np.cumsum(np.r_[False, parents[1:] != parents[:-1]])
+        first = starts[run_id]
+    pos = np.arange(total - n + 1, dtype=np.int64) - first[: total - n + 1] + 1
+    p = parents[: total - n + 1]
+    return h[valid], p[valid], pos[valid]
+
+
+def _persisted_explosion(compute, empty_schema, checkpoint, stage_name,
+                         spill_dir):
+    """Persist a corpus-sized exploded table to PARQUET (never an
+    object-store ``materialize()`` — at 100 TB the explosion is tens of TB;
+    disk-backed from the start and column-pruned on read-back, resumable
+    when a :class:`StageCheckpoint` is supplied). Returns a
+    ``read(columns)`` closure for the N downstream consumers."""
+    from ..sources.io import read_parquet_clean
+
+    if checkpoint is not None:
+        def read(columns):
+            return checkpoint.run(stage_name, compute, columns=columns)
+
+        return read
+
+    import tempfile
+
+    spill = spill_dir or tempfile.mkdtemp(prefix=f"{stage_name}-")
+    os.makedirs(spill, exist_ok=True)
+    for f in os.listdir(spill):  # deterministic spill_dir: overwrite
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(spill, f))
+    compute().write_parquet(spill)
+    has_files = any(f.endswith(".parquet") for f in os.listdir(spill))
+
+    def read(columns):
+        import ray.data as rd
+
+        if not has_files:  # zero grams in the whole corpus
+            return rd.from_arrow(empty_schema.empty_table())
+        return read_parquet_clean(spill, columns=columns)
+
+    return read
+
+
+def _unpack_i64_vectors(col) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a binary column of packed little-endian int64 vectors back to
+    (flat_values, parent_row_idx) — the buffer-level inverse of
+    ``arr.astype('<i8').tobytes()``, no per-row Python."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    arr = arr.cast(pa.binary())
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    flat = np.frombuffer(
+        np.ascontiguousarray(data[offs[0] : offs[-1]]), np.int64
+    )
+    counts = (offs[1:] - offs[:-1]) // 8
+    parents = np.repeat(np.arange(len(arr), dtype=np.int64), counts)
+    return flat, parents
+
+
+def span_dedup(
+    ds,
+    *,
+    n: int,
+    id_col: str = "doc_id",
+    col: str = "text",
+    min_count: int = 2,
+    checkpoint=None,
+    spill_dir: str | None = None,
+):
+    """Exact substring dedup at word granularity — the removal pass of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"), restated distributed: every word ``n``-gram occurring
+    ``min_count``+ times in the WHOLE corpus marks its ``n`` token
+    positions; overlapping marks merge into spans; the spans are cut out.
+
+    Returns a Dataset over the AFFECTED documents only:
+    ``(id_col, n_tokens, dup_tokens, n_spans, clean_text)`` where
+    ``clean_text`` is the document's canonical token stream (lowercased,
+    ``\\W+``-split — the same stream the grams were computed on) with every
+    covered token removed, '' if the whole document was covered.
+
+    Distributed shape (nothing corpus-sized ever sits on the driver or in
+    the object store):
+
+    1. explode → ``(doc_id, h, pos)`` — fixed-width, no text ships — spilled
+       once to parquet and read back column-pruned by both consumers;
+    2. ``groupby(h).count`` → grams with count ≥ min_count;
+    3. left-semi join the explosion against them → hit coordinates;
+    4. hash-partition hits by doc and merge intervals per doc — one pandas
+       cython cummax per partition, span lists built by run-length
+       ``np.split`` (O(#affected docs) slicing, no per-span Python);
+    5. hash-join the (small) span table back to the documents and cut the
+       covered tokens vectorized: one diff-array cumsum builds the covered
+       mask for the whole batch, one ``ListArray`` rebuild + ``binary_join``
+       re-assembles every clean text.
+
+    Known property of substring removal (Lee et al. §5): cutting a span can
+    create a NEW adjacency that itself repeats; one pass does not fixpoint.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    from ..context import auto_num_partitions, drop_empty_blocks
+    from .windows import partitioned_group_apply
+
+    def explode(t: pa.Table) -> pa.Table:
+        text = t[col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h, parents, pos = ngram_hashes_pos(text, n)
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[parents], pa.int64()),
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    empty_schema = pa.schema(
+        [(id_col, pa.int64()), ("h", pa.int64()), ("pos", pa.int64())]
+    )
+    exploded = _persisted_explosion(
+        lambda: ds.map_batches(
+            explode, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        empty_schema,
+        checkpoint,
+        "span_dedup_exploded",
+        spill_dir,
+    )
+
+    nparts = auto_num_partitions()
+
+    rep = exploded(["h"]).groupby("h").aggregate(Count(alias_name="c"))
+    rep = drop_empty_blocks(
+        rep, pa.schema([("h", pa.int64()), ("c", pa.int64())])
+    ).filter(expr=f"c >= {int(min_count)}")
+
+    hits = exploded([id_col, "h", "pos"]).join(
+        rep.select_columns(["h"]),
+        "left_semi",
+        num_partitions=nparts,
+        on=("h",),
+    )
+
+    def merge_spans(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    "dup_tokens": pd.Series([], dtype="int64"),
+                    "n_spans": pd.Series([], dtype="int64"),
+                    "spans_s": pd.Series([], dtype="object"),
+                    "spans_e": pd.Series([], dtype="object"),
+                }
+            )
+        df = df.sort_values([id_col, "pos"], kind="stable")
+        doc = df[id_col].to_numpy()
+        s = df["pos"].to_numpy()
+        e = s + n - 1
+        # running max of span end within each doc (cython cummax), shifted:
+        cm = (
+            df.assign(__e=e)
+            .groupby(id_col, sort=False)["__e"]
+            .cummax()
+            .to_numpy()
+        )
+        first = np.r_[True, doc[1:] != doc[:-1]]
+        prev = np.r_[np.int64(-1), cm[:-1]]
+        prev[first] = -1  # no prior coverage at a doc's first hit
+        # strictly-after-prev+1: a span touching the previous one (s ==
+        # prev+1) extends the same covered island, it does not open a new one
+        new_span = first | (s > prev + 1)
+        idx_new = np.flatnonzero(new_span)
+        m_start = s[idx_new]
+        last_of_span = np.r_[idx_new[1:] - 1, len(s) - 1]
+        m_end = cm[last_of_span]
+        span_doc = doc[idx_new]
+        # per-doc aggregation over the merged spans (sorted by doc already)
+        d_first = np.r_[True, span_doc[1:] != span_doc[:-1]]
+        bounds = np.flatnonzero(d_first)
+        doc_ids = span_doc[bounds]
+        lens = m_end - m_start + 1
+        dup_tokens = np.add.reduceat(lens, bounds)
+        n_spans = np.diff(np.r_[bounds, len(span_doc)])
+        starts_per_doc = np.split(m_start, bounds[1:])
+        ends_per_doc = np.split(m_end, bounds[1:])
+        return pd.DataFrame(
+            {
+                id_col: doc_ids,
+                "dup_tokens": dup_tokens.astype(np.int64),
+                "n_spans": n_spans.astype(np.int64),
+                # packed-int64 bytes: the acero hash join rejects list-typed
+                # payload columns, so the span vectors cross it as binary
+                "spans_s": [a.astype("<i8").tobytes() for a in starts_per_doc],
+                "spans_e": [a.astype("<i8").tobytes() for a in ends_per_doc],
+            }
+        )
+
+    spans = partitioned_group_apply(
+        hits, id_col, merge_spans, num_partitions=nparts
+    )
+    # empty partitions yield typeless empty blocks that crash the acero
+    # join (context.drop_empty_blocks docstring); strip them first
+    spans = drop_empty_blocks(
+        spans,
+        pa.schema(
+            [
+                (id_col, pa.int64()),
+                ("dup_tokens", pa.int64()),
+                ("n_spans", pa.int64()),
+                ("spans_s", pa.binary()),
+                ("spans_e", pa.binary()),
+            ]
+        ),
+    )
+
+    docs = ds.select_columns([id_col, col])
+    joined = spans.join(docs, "inner", num_partitions=nparts, on=(id_col,))
+
+    def cut(t: pa.Table) -> pa.Table:
+        text = t[col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words, parents = _words(text)
+        rows = len(t)
+        total = len(words)
+        n_tokens = np.bincount(parents, minlength=rows).astype(np.int64)
+        row_off = np.r_[np.int64(0), np.cumsum(n_tokens)][:-1]
+        flat_s, sp_par = _unpack_i64_vectors(t["spans_s"])
+        flat_e, _ = _unpack_i64_vectors(t["spans_e"])
+        # covered mask over the batch's whole token stream via a diff array
+        d = np.zeros(total + 1, np.int64)
+        np.add.at(d, row_off[sp_par] + flat_s - 1, 1)
+        np.add.at(d, row_off[sp_par] + flat_e, -1)
+        covered = np.cumsum(d[:-1]) > 0
+        keep = ~covered
+        kept = words.filter(pa.array(keep)) if total else words
+        kept_counts = np.bincount(parents[keep], minlength=rows)
+        offsets = pa.array(
+            np.r_[np.int64(0), np.cumsum(kept_counts)], pa.int32()
+        )
+        lists = pa.ListArray.from_arrays(offsets, kept)
+        clean = pc.binary_join(lists.cast(pa.list_(pa.string())), " ")
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "dup_tokens": t["dup_tokens"],
+                "n_spans": t["n_spans"],
+                "clean_text": clean,
+            }
+        )
+
+    return joined.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def span_dedup_sql(
+    n: int, *, min_count: int = 2, table: str = "documents",
+    col: str = "text", id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`span_dedup`: same gram stream
+    (:data:`_WORDS_SQL`), string-exact gram equality, interval union via
+    gaps-and-islands, removal via anti-join on covered positions."""
+    words = _WORDS_SQL.format(col=col)
+    return f"""
+WITH w AS (
+  SELECT {id_col}, unnest({words}) AS w, generate_subscripts({words}, 1) AS pos
+  FROM {table} WHERE {col} IS NOT NULL
+),
+g AS (
+  SELECT {id_col}, pos,
+         string_agg(w, ' ') OVER (PARTITION BY {id_col} ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS g,
+         count(*) OVER (PARTITION BY {id_col} ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {n - 1} FOLLOWING) AS gn
+  FROM w
+),
+grams AS (SELECT {id_col}, pos, g FROM g WHERE gn = {n}),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= {min_count}),
+hits AS (SELECT {id_col}, pos FROM grams WHERE g IN (SELECT g FROM dupg)),
+cov AS (SELECT DISTINCT {id_col},
+               unnest(generate_series(pos, pos + {n - 1})) AS p
+        FROM hits),
+isl AS (SELECT {id_col}, p,
+               p - row_number() OVER (PARTITION BY {id_col} ORDER BY p) AS grp
+        FROM cov),
+stats AS (SELECT {id_col}, count(*)::BIGINT AS dup_tokens,
+                 count(DISTINCT grp)::BIGINT AS n_spans
+          FROM isl GROUP BY {id_col}),
+ntok AS (SELECT {id_col}, count(*)::BIGINT AS n_tokens FROM w GROUP BY {id_col}),
+clean AS (
+  SELECT w.{id_col}, string_agg(w.w, ' ' ORDER BY w.pos) AS clean_text
+  FROM w LEFT JOIN cov ON w.{id_col} = cov.{id_col} AND w.pos = cov.p
+  WHERE cov.p IS NULL GROUP BY w.{id_col}
+)
+SELECT s.{id_col}, n.n_tokens, s.dup_tokens, s.n_spans,
+       coalesce(c.clean_text, '') AS clean_text
+FROM stats s JOIN ntok n USING ({id_col}) LEFT JOIN clean c USING ({id_col})"""

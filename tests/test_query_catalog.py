@@ -15,10 +15,16 @@ DRIVER_CAP = 50
 # Oracle-backed queries deliberately placed past the driver cap.  Each needs
 # a justification here; adding to this set should be a conscious decision.
 ALLOWED_PAST_CAP = {
-    # third exact-quantiles query; family keeps two driver-recorded oracle
-    # rows (turn_length_quantiles_exact, latency_quantiles_exact) and this
-    # one was judge-verified green in round 3
+    # third exact-quantiles query; family keeps a driver-recorded oracle row
+    # (turn_length_quantiles_exact) plus the kll/tdigest accuracy rows, and
+    # this one was judge-verified green in round 3
     "event_value_quantiles",
+    # second exact-quantiles query over another table: displaced in round 4
+    # to make room for dedup_spans (a NEW operator family — exact substring
+    # removal); same code path as turn_length_quantiles_exact, which keeps
+    # the family's driver row, and stays oracle-checked in pytest
+    # (tests/test_quantiles.py)
+    "latency_quantiles_exact",
 }
 
 
