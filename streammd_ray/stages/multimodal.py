@@ -20,11 +20,16 @@ edits. Built-in decoder tiers:
 - ``decoder="wav"`` — REAL audio decode: PCM WAV via the stdlib ``wave``
   module + numpy; emits sample_rate/n_samples/duration and a 16-bin
   spectral-energy feature (rfft band energies).
+- ``decoder="png"`` / ``"gif"`` / ``"jpeg"`` — REAL compressed-format
+  decodes from the public specs (zlib+filters / LZW / huffman+IDCT) in
+  numpy + stdlib — see :mod:`.codecs` and :mod:`.jpeg`; ``"gif_frames"``
+  decodes animated GIFs to an (n, h, w, 4) frame stack (the real video
+  path: dims triplet = (w, h, n_frames)).
 - ``decoder="fake"`` — deterministic pseudo-features from the raw bytes
   (plumbing tests for arbitrary payloads).
-- ``decoder="stub"`` — raises NotImplementedError at the exact call site a
-  compressed-format decoder (PIL/pyav for JPEG/video) would plug into; those
-  libraries don't ship in this container.
+- ``decoder="stub"`` — raises NotImplementedError at the explicit plug-in
+  seam for formats with no in-container decoder (e.g. H.264 video);
+  a deployment with pillow/pyav registers its codec over this.
 
 Batch sizing note (SURVEY.md §7.3 "very wide values"): media rows are large,
 so these stages default to small ``batch_size`` and callers should lower
@@ -188,7 +193,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 def image_features(img: np.ndarray, bins: int = 16) -> np.ndarray:
     """Normalized luminance histogram (bins,) — the decoded-image feature."""
     if img.ndim == 3:
-        lum = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+        # RGBA (e.g. decoded PNG/GIF) → luminance over the color channels
+        lum = img[:, :, :3].astype(np.float64) @ np.array([0.299, 0.587, 0.114])
     else:
         lum = img.astype(np.float64)
     hist = np.bincount(
@@ -305,6 +311,15 @@ register_codec(
     )
 )
 
+# round 4: real compressed-format codecs (PNG / GIF / baseline+progressive
+# JPEG, plus 'gif_frames' as the real video path) decoded from the public
+# specs with numpy + stdlib — see stages/codecs.py and stages/jpeg.py. The
+# import is deferred to module end so codecs.py can import MediaCodec et al.
+def _register_compressed_codecs() -> None:
+    from .codecs import register_builtin_codecs
+
+    register_builtin_codecs()
+
 
 def make_ppm_media_table(n: int = 32, *, seed: int = 9) -> pa.Table:
     """Deterministic REAL PPM payloads (seeded gradients + noise).
@@ -326,6 +341,57 @@ def make_ppm_media_table(n: int = 32, *, seed: int = 9) -> pa.Table:
         {
             "media_id": pa.array(np.arange(n), pa.int64()),
             "media_type": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
+def make_png_media_table(n: int = 32, *, seed: int = 9) -> pa.Table:
+    """Deterministic REAL PNG payloads (seeded noise, zlib-compressed).
+
+    Dimensions reuse the PPM arithmetic — h = 8 + 37·i mod 56, w = 8 + 61·i
+    mod 56 — and the channel count alternates 3/4 with media_id parity, so a
+    SQL oracle reproduces every decoded dim without decoding. Payload SIZE is
+    not closed-form (zlib), so only decoded dims are oracle columns; pixel
+    content stays seeded noise (the inflate + unfilter path does real work)."""
+    from .codecs import encode_png
+
+    rng = np.random.default_rng(seed)
+    payloads = []
+    for i in range(n):
+        h, w, c = 8 + (i * 37) % 56, 8 + (i * 61) % 56, 3 + i % 2
+        payloads.append(encode_png(rng.integers(0, 256, (h, w, c), dtype=np.uint8)))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
+def make_gif_media_table(n: int = 32, *, seed: int = 9) -> pa.Table:
+    """Deterministic REAL animated-GIF payloads (seeded 16-color noise).
+
+    Frame counts and dims are arithmetic on media_id — n_frames = 1 + 5·i
+    mod 7, h = 6 + 13·i mod 27, w = 6 + 17·i mod 27 — so the video-path
+    oracle recomputes the full (w, h, n_frames) dims triplet in SQL; the LZW
+    decode + frame composition operate on real seeded content."""
+    from .codecs import encode_gif
+
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    payloads = []
+    for i in range(n):
+        f, h, w = 1 + (i * 5) % 7, 6 + (i * 13) % 27, 6 + (i * 17) % 27
+        frames = rng.integers(0, 16, (f, h, w), dtype=np.uint8)
+        payloads.append(encode_gif(frames, palette, delays_ms=[40] * f))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "media_type": pa.array(["video"] * n, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
             "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
         }
@@ -380,10 +446,11 @@ class MediaDecodeStage:
 
     def _decode_real(self, payloads):  # pragma: no cover - by design
         raise NotImplementedError(
-            "no compressed-format codec (JPEG/video) in this environment; "
-            "register_codec(MediaCodec('jpeg', 'image', PIL_decode, ...)) to "
-            "plug one in, or use decoder='ppm'/'bmp'/'wav' for the real "
-            "numpy codecs, decoder='fake' for plumbing tests"
+            "decoder='stub' is the explicit plug-in seam for formats with "
+            "no in-container decoder (e.g. H.264): register_codec("
+            "MediaCodec('h264', 'video', pyav_decode, ...)) to fill it. "
+            "Real built-in codecs: png/gif/jpeg/gif_frames/ppm/bmp/wav; "
+            "decoder='fake' for plumbing tests on arbitrary payloads"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -533,3 +600,6 @@ def decode_media(ds, *, decoder: str = "stub", batch_size: int = 16, concurrency
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+_register_compressed_codecs()

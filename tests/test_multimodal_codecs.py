@@ -170,14 +170,21 @@ def test_codec_registry_guards():
         MediaResizeStage(decoder="decode-only-test")
 
 
-def test_rle_jpeg_codec_fills_the_stub_seam(ray_session):
+def test_rle_jpeg_codec_fills_the_stub_seam(ray_session, request):
     """Round-3 judge item #9 — documentation-by-test for the third-party
-    decoder seam: register a toy run-length-encoded codec under the name
-    'jpeg' (the stubbed plug-in point) and drive BOTH media stages through
-    actor pools: decode_media(decoder='jpeg') and a real RLE->RLE resize
-    transcode. In production the decode/encode callables would be
-    PIL/libjpeg; everything else — registry, actor shipping, schema,
-    batching — is exactly what runs here."""
+    decoder seam: register a toy run-length-encoded codec OVER the built-in
+    'jpeg' name (overwrite=True, the documented native-decoder upgrade path
+    — since round 4 a real T.81 decoder owns that name; see tests/test_jpeg
+    .py) and drive BOTH media stages through actor pools:
+    decode_media(decoder='jpeg') and a real RLE->RLE resize transcode. In
+    production the decode/encode callables would be PIL/libjpeg; everything
+    else — registry, actor shipping, schema, batching — is exactly what
+    runs here. The built-in codec is restored afterwards."""
+    from streammd_ray.stages.multimodal import get_codec
+
+    orig = get_codec("jpeg")
+    request.addfinalizer(lambda: register_codec(orig, overwrite=True))
+
     # toy "jpeg": 12-byte header (w, h, channels int32) + RLE byte pairs
     # (count, value) over the flattened pixel array
     def rle_encode(img: np.ndarray) -> bytes:
