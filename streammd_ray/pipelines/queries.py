@@ -1373,6 +1373,56 @@ def sql_media_decode_bmp() -> str:
 FROM documents ORDER BY doc_id"""
 
 
+def q_media_decode_png(sf_dir: str):
+    """ORACLE-CHECKED real compressed-image decode: deterministic PNG
+    payloads (zlib + scanline filters, RGB/RGBA alternating with media_id
+    parity) decoded by the registry 'png' codec in the actor-pool stage;
+    every decoded dimension is integer arithmetic on media_id (see
+    multimodal.make_png_media_table), so DuckDB recomputes the full
+    inflate→unfilter→reshape result dims without decoding."""
+    import ray.data as rd
+
+    from ..stages.multimodal import decode_media, make_png_media_table
+
+    ds = rd.from_arrow(make_png_media_table(64, seed=13))
+    out = decode_media(ds, decoder="png", batch_size=16)
+    return out.select_columns(["media_id", "width", "height", "channels"])
+
+
+def sql_media_decode_png() -> str:
+    return """
+SELECT media_id,
+       (8 + (media_id * 61) % 56)::INT AS width,
+       (8 + (media_id * 37) % 56)::INT AS height,
+       (3 + media_id % 2)::INT AS channels
+FROM (SELECT unnest(range(64)) AS media_id)"""
+
+
+def q_media_gif_frames(sf_dir: str):
+    """ORACLE-CHECKED real VIDEO-path decode: deterministic animated GIFs
+    (LZW streams + per-frame composition) decoded by the 'gif_frames'
+    codec to (n, h, w, 4) stacks; the dims triplet is the typed-metadata
+    reuse (w, h, n_frames) and all three are arithmetic on media_id (see
+    multimodal.make_gif_media_table)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import decode_media, make_gif_media_table
+
+    ds = rd.from_arrow(make_gif_media_table(64, seed=13))
+    out = decode_media(ds, decoder="gif_frames", batch_size=16)
+    df = out.select_columns(["media_id", "width", "height", "channels"]).to_pandas()
+    return df.rename(columns={"channels": "n_frames"})
+
+
+def sql_media_gif_frames() -> str:
+    return """
+SELECT media_id,
+       (6 + (media_id * 17) % 27)::INT AS width,
+       (6 + (media_id * 13) % 27)::INT AS height,
+       (1 + (media_id * 5) % 7)::INT AS n_frames
+FROM (SELECT unnest(range(64)) AS media_id)"""
+
+
 def q_transcripts_sorted(sf_dir: str):
     """ORDER-VERIFIED query: sort the transcripts by (conv_id, turn_idx) in
     Ray, then stamp each row with its PHYSICAL position in the sorted
@@ -2415,6 +2465,11 @@ QUERIES = {
     # and available to the judge) ---
     "latency_quantiles_exact": q_latency_quantiles_exact,
     "event_value_quantiles": q_event_value_quantiles,
+    # round-4 compressed-codec queries: the media family already holds three
+    # driver rows (ppm/wav/bmp); these two stay oracle-checked in pytest
+    # (tests/test_entry_oracle.py) without displacing a driver-recorded slot
+    "media_decode_png": q_media_decode_png,
+    "media_gif_frames": q_media_gif_frames,
     # --- no-oracle queries (pytest property suites + accuracy twins) ---
     "hll_distinct_conversations": q_hll_distinct_conversations,
     "cms_heavy_tools": q_cms_heavy_tools,
@@ -2451,6 +2506,8 @@ ORACLES = {
     "media_decode_bmp": sql_media_decode_bmp(),
     "media_ppm_stats": sql_media_ppm_stats(),
     "media_wav_stats": sql_media_wav_stats(),
+    "media_decode_png": sql_media_decode_png(),
+    "media_gif_frames": sql_media_gif_frames(),
     "text_stats": sql_text_stats(),
     "doc_repetition_stats": sql_doc_repetition_stats(),
     "decontaminate": sql_decontaminate(),

@@ -25,6 +25,13 @@ ALLOWED_PAST_CAP = {
     # the family's driver row, and stays oracle-checked in pytest
     # (tests/test_quantiles.py)
     "latency_quantiles_exact",
+    # round-4 compressed-codec decode queries (PNG inflate+unfilter dims,
+    # animated-GIF video-path dims): the media family keeps three
+    # driver-recorded rows (ppm/wav/bmp) and these two are oracle-checked
+    # per-run in pytest (tests/test_entry_oracle.py) plus the dedicated
+    # conformance suites (tests/test_codecs.py, tests/test_jpeg.py)
+    "media_decode_png",
+    "media_gif_frames",
 }
 
 
