@@ -35,7 +35,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["decode_jpeg"]
+__all__ = ["decode_jpeg", "encode_jpeg_const"]
 
 # zigzag scan order: ZIGZAG[i] = natural (row-major) index of the i-th
 # coefficient in scan order; natural.flat[ZIGZAG] = scan_order_coeffs.
@@ -460,6 +460,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         nat[:, ZIGZAG] = flat  # de-zigzag in one fancy index
         blocks = nat.reshape(-1, 8, 8).astype(np.float64)
         spatial = _M.T @ blocks @ _M + 128.0  # vectorized IDCT, level shift
+        np.rint(spatial, out=spatial)  # output samples are ROUNDED (F.2.1.5)
         np.clip(spatial, 0, 255, out=spatial)
         grid = spatial.reshape(c.bh_pad, c.bw_pad, 8, 8)
         plane = grid.transpose(0, 2, 1, 3).reshape(c.bh_pad * 8, c.bw_pad * 8)
@@ -482,5 +483,97 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     out = np.dstack([r, g, b])
+    np.rint(out, out=out)  # rounded color conversion, matching libjpeg
     np.clip(out, 0, 255, out=out)
     return out.astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# forward path: constant-tile baseline encoder (oracle payload generator)
+# --------------------------------------------------------------------------
+
+# Annex K.3.1 luminance DC table (counts per code length 1..16, then the 12
+# category symbols) — the smallest published table covering categories 0..11.
+_DC_COUNTS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_VALS = tuple(range(12))
+# minimal valid AC table: the single 1-bit code '0' -> EOB (run=0, size=0)
+_AC_COUNTS = (1,) + (0,) * 15
+_AC_VALS = (0x00,)
+
+
+def _canonical_codes(counts, vals) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 Annex C canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def encode_jpeg_const(value: int, width: int, height: int) -> bytes:
+    """Baseline grayscale JPEG of a CONSTANT image, bit-exact on decode.
+
+    Every 8x8 block of a constant image has a single nonzero FDCT
+    coefficient, DC = 8*(value-128) (T.81 A.3.3 with the orthonormal
+    normalization); with DC quantizer 8 the quantized DC is exactly
+    value-128, so dequantize + DC-only IDCT + level shift reconstructs
+    ``value`` at every pixel with NO rounding anywhere — the decoded image
+    is closed-form in (value, width, height), which is what makes the
+    encode->ship->decode->featurize roundtrip oracle-checkable in SQL
+    (dims AND content), unlike the seeded-noise PNG/GIF payloads where
+    only dims are closed-form. Entropy layout: Annex K luminance DC table,
+    a minimal 1-code AC table (EOB only), one non-interleaved scan."""
+    if not (0 <= value <= 255):
+        raise ValueError(f"pixel value out of range: {value}")
+    s = value - 128  # quantized DC of every block; diff sequence: s, 0, 0...
+    dc = _canonical_codes(_DC_COUNTS, _DC_VALS)
+    ac = _canonical_codes(_AC_COUNTS, _AC_VALS)
+
+    # --- entropy-coded scan: first block DC diff = s, rest 0; AC = EOB ---
+    bits: list[tuple[int, int]] = []
+    t = 0 if s == 0 else abs(s).bit_length()
+    bits.append(dc[t])
+    if t:
+        v = s if s > 0 else s + (1 << t) - 1  # VLI (F.1.2.1)
+        bits.append((v, t))
+    bits.append(ac[0x00])
+    nblocks = -(-width // 8) * -(-height // 8)
+    zero_block = [dc[0], ac[0x00]]
+    for _ in range(nblocks - 1):
+        bits.extend(zero_block)
+
+    scan = bytearray()
+    acc, nacc = 0, 0
+    for code, ln in bits:
+        acc = (acc << ln) | (code & ((1 << ln) - 1))
+        nacc += ln
+        while nacc >= 8:
+            b = (acc >> (nacc - 8)) & 0xFF
+            nacc -= 8
+            scan.append(b)
+            if b == 0xFF:
+                scan.append(0x00)  # byte stuffing (B.1.1.5)
+    if nacc:
+        b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
+        scan.append(b)
+        if b == 0xFF:
+            scan.append(0x00)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, 2 + len(payload)) + payload
+
+    # DQT payload is in zigzag order; position 0 is the DC quantizer and the
+    # 63 AC entries never multiply a nonzero coefficient here
+    dqt = seg(0xDB, bytes([0x00, 8] + [255] * 63))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_VALS)
+        + bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_VALS),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(scan) + b"\xff\xd9"

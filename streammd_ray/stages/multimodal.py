@@ -398,6 +398,32 @@ def make_gif_media_table(n: int = 32, *, seed: int = 9) -> pa.Table:
     )
 
 
+def make_jpeg_media_table(n: int = 32) -> pa.Table:
+    """Deterministic REAL JPEG payloads (constant-tile baseline grayscale).
+
+    Dims AND pixel content are arithmetic on media_id — w = 8 + 19·i mod 49,
+    h = 8 + 23·i mod 49 (non-multiples of 8 exercise edge-block cropping),
+    fill v = 73·i mod 256 — and the constant-tile construction reconstructs
+    v EXACTLY at every pixel (see :func:`..jpeg.encode_jpeg_const`), so a
+    SQL oracle recomputes decoded dims, channels=1, and the dominant
+    luminance feature bin v // 16: the only built-in compressed codec whose
+    decoded CONTENT (not just dims) is driver-checkable."""
+    from .jpeg import encode_jpeg_const
+
+    payloads = []
+    for i in range(n):
+        w, h, v = 8 + (i * 19) % 49, 8 + (i * 23) % 49, (i * 73) % 256
+        payloads.append(encode_jpeg_const(v, w, h))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "media_type": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+        }
+    )
+
+
 def make_wav_media_table(n: int = 32, *, seed: int = 9, sample_rate: int = 8000) -> pa.Table:
     """Deterministic REAL WAV payloads (seeded sine mixtures + noise).
 

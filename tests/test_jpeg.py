@@ -501,6 +501,7 @@ def reference_recon(comps, qtables_by_tq, w, h, hmax, vmax):
         nat[:, ZIGZAG] = flat
         blocks = nat.reshape(-1, 8, 8).astype(np.float64)
         spatial = _M.T @ blocks @ _M + 128.0
+        np.rint(spatial, out=spatial)  # rounded output samples (F.2.1.5)
         np.clip(spatial, 0, 255, out=spatial)
         grid = spatial.reshape(c.bh_pad, c.bw_pad, 8, 8)
         plane = grid.transpose(0, 2, 1, 3).reshape(c.bh_pad * 8, c.bw_pad * 8)
@@ -517,6 +518,7 @@ def reference_recon(comps, qtables_by_tq, w, h, hmax, vmax):
     out = np.dstack(
         [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb]
     )
+    np.rint(out, out=out)
     np.clip(out, 0, 255, out=out)
     return out.astype(np.uint8)
 
@@ -765,3 +767,44 @@ def test_jpeg_decode_media_actor_pool(ray_session):
     )
     assert [(w, h) for w, h in zip(out["width"], out["height"])] == dims
     assert (out["channels"] == 3).all()
+
+
+# ---------------------------------------------------------------------------
+# library forward path: constant-tile encoder (oracle payload generator)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("v", [0, 1, 7, 127, 128, 129, 200, 254, 255])
+@pytest.mark.parametrize("hw", [(8, 8), (9, 13), (1, 1), (40, 64), (63, 57)])
+def test_encode_jpeg_const_bit_exact(v, hw):
+    """DC quantizer 8 + constant blocks ⇒ NO rounding anywhere in the
+    dequant→IDCT→level-shift chain: every decoded pixel equals the fill
+    exactly, including edge-cropped partial blocks (non-multiple-of-8 dims)."""
+    from streammd_ray.stages.jpeg import encode_jpeg_const
+
+    h, w = hw
+    img = decode_jpeg(encode_jpeg_const(v, w, h))
+    assert img.shape == (h, w) and img.dtype == np.uint8
+    assert (img == v).all()
+
+
+def test_encode_jpeg_const_matches_reference_encoder():
+    """Cross-check the minimal writer against the full conformance encoder:
+    both encode the same constant image; both decode to the same pixels."""
+    from streammd_ray.stages.jpeg import encode_jpeg_const
+
+    img = np.full((24, 17), 93, np.uint8)
+    full, _ = encode_jpeg(img, qnat=np.ones((8, 8), np.int32) * 8)
+    assert (decode_jpeg(full) == decode_jpeg(encode_jpeg_const(93, 17, 24))).all()
+
+
+def test_make_jpeg_media_table_oracle_arithmetic():
+    """The payload generator's decoded dims AND content follow the published
+    arithmetic the SQL oracle recomputes (queries.sql_media_decode_compressed)."""
+    from streammd_ray.stages.multimodal import make_jpeg_media_table
+
+    t = make_jpeg_media_table(12)
+    for i, payload in enumerate(t["payload"].to_pylist()):
+        img = decode_jpeg(payload)
+        assert img.shape == (8 + (i * 23) % 49, 8 + (i * 19) % 49)
+        assert (img == (i * 73) % 256).all()

@@ -14,25 +14,31 @@ DRIVER_CAP = 50
 
 # Oracle-backed queries deliberately placed past the driver cap.  Each needs
 # a justification here; adding to this set should be a conscious decision.
+# Every entry here must be a strict projection of a CONSOLIDATED query that
+# holds a driver-recorded slot (so nothing computed here goes unrecorded):
+# the three per-metric exact-quantile queries fold into `quantiles_exact`,
+# the three per-function text queries into `text_analysis`, and the two
+# per-codec compressed-decode queries into `media_decode_compressed`.  All
+# stay oracle-checked per-run in pytest (tests/test_entry_oracle.py).
 ALLOWED_PAST_CAP = {
-    # third exact-quantiles query; family keeps a driver-recorded oracle row
-    # (turn_length_quantiles_exact) plus the kll/tdigest accuracy rows, and
-    # this one was judge-verified green in round 3
-    "event_value_quantiles",
-    # second exact-quantiles query over another table: displaced in round 4
-    # to make room for dedup_spans (a NEW operator family — exact substring
-    # removal); same code path as turn_length_quantiles_exact, which keeps
-    # the family's driver row, and stays oracle-checked in pytest
-    # (tests/test_quantiles.py)
-    "latency_quantiles_exact",
-    # round-4 compressed-codec decode queries (PNG inflate+unfilter dims,
-    # animated-GIF video-path dims): the media family keeps three
-    # driver-recorded rows (ppm/wav/bmp) and these two are oracle-checked
-    # per-run in pytest (tests/test_entry_oracle.py) plus the dedicated
-    # conformance suites (tests/test_codecs.py, tests/test_jpeg.py)
-    "media_decode_png",
-    "media_gif_frames",
+    "turn_length_quantiles_exact": "quantiles_exact",
+    "latency_quantiles_exact": "quantiles_exact",
+    "event_value_quantiles": "quantiles_exact",
+    "text_stats": "text_analysis",
+    "lang_id": "text_analysis",
+    "fingerprint": "text_analysis",
+    "media_decode_png": "media_decode_compressed",
+    "media_gif_frames": "media_decode_compressed",
 }
+
+
+def test_past_cap_queries_have_consolidated_driver_row():
+    checked = set(list(QUERIES)[:DRIVER_CAP])
+    for twin, consolidated in ALLOWED_PAST_CAP.items():
+        assert consolidated in checked and consolidated in ORACLES, (
+            f"{twin} is past the cap but its consolidated row "
+            f"{consolidated} is not a driver-recorded oracle query"
+        )
 
 
 def test_every_oracle_query_within_driver_cap():
