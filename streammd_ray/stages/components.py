@@ -46,35 +46,56 @@ import pyarrow as pa
 
 from .windows import partitioned_group_apply
 
-# order-free fingerprint mix: SplitMix64 finalizer over (node, member),
-# summed mod 2^40 so any realistic partial count stays far below int64
-_MIX_MOD = 1 << 40
+# Order-free fingerprint: TWO independent 64-bit mixes over (node, member)
+# (SplitMix64-style and Murmur3-fmix-style finalizer constants), each summed
+# EXACTLY per batch (32-bit-halves trick — no uint64 wrap for < 2^31 rows,
+# far above any Arrow batch) and reduced mod a prime. A single 40-bit sum
+# could collide silently at web scale; count + two independent 42-bit sums
+# give ~2^-84 per-round collision probability. The modulus is the largest
+# prime below 2^42 so each per-batch partial < 2^42 and Ray's int64 Sum
+# stays exact for up to 2^21 (~2M) blocks — orders of magnitude above any
+# real label table's block count.
+_FP_MOD = (1 << 42) - 11  # largest prime < 2^42
 
 
-def _mix_pairs(a: np.ndarray, b: np.ndarray) -> int:
-    z = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
-        b.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
-    )
+def _mix_pairs(a: np.ndarray, b: np.ndarray, c1: int, c2: int, c3: int) -> int:
+    z = (a.astype(np.uint64) * np.uint64(c1)) ^ (b.astype(np.uint64) * np.uint64(c2))
     z ^= z >> np.uint64(31)
-    z *= np.uint64(0x94D049BB133111EB)
+    z *= np.uint64(c3)
     z ^= z >> np.uint64(27)
-    return int((z % np.uint64(_MIX_MOD)).sum())
+    # exact sum of uint64 values via 32-bit halves (each half-sum fits int64
+    # for < 2^31 rows — far above any Arrow batch), then one Python-int mod
+    lo = int((z & np.uint64(0xFFFFFFFF)).sum(dtype=np.uint64))
+    hi = int((z >> np.uint64(32)).sum(dtype=np.uint64))
+    return (lo + (hi << 32)) % _FP_MOD
 
 
-def _label_fingerprint(labels) -> tuple[int, int]:
-    """(row count, order-free mixed sum) of a (node, component) Dataset."""
+def _label_fingerprint(labels) -> tuple[int, int, int]:
+    """(row count, two independent order-free mixed sums) of a
+    (node, component) Dataset. Equal fingerprints across rounds are treated
+    as label-set equality; see the collision-probability note above."""
 
     def partial(t: pa.Table) -> pa.Table:
         n = np.asarray(t["node"], dtype=np.int64)
         c = np.asarray(t["component"], dtype=np.int64)
+        s1 = _mix_pairs(n, c, 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB)
+        s2 = _mix_pairs(n, c, 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D)
         return pa.table(
-            {"n": pa.array([len(n)], pa.int64()), "s": pa.array([_mix_pairs(n, c)], pa.int64())}
+            {
+                "n": pa.array([len(n)], pa.int64()),
+                "s1": pa.array([s1], pa.int64()),
+                "s2": pa.array([s2], pa.int64()),
+            }
         )
 
     agg = labels.map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
-    ).sum(["n", "s"])
-    return (int(agg["sum(n)"] or 0), int(agg["sum(s)"] or 0))
+    ).sum(["n", "s1", "s2"])
+    return (
+        int(agg["sum(n)"] or 0),
+        int(agg["sum(s1)"] or 0) % _FP_MOD,
+        int(agg["sum(s2)"] or 0) % _FP_MOD,
+    )
 
 
 def _dedupe_groups(df: pd.DataFrame):
@@ -164,11 +185,14 @@ def connected_components(
             )
         )
     if max_rounds is None:
-        # O(log d) convergence; d ≤ n ≤ state rows. +4 absorbs the final
-        # no-change confirmation round and tiny-graph constants.
-        max_rounds = 2 * int(np.ceil(np.log2(n_rows + 2))) + 4
+        # Hash-to-Min is proven O(log n) rounds but only with constants —
+        # Rastogi et al. show 4·log n on path graphs — so budget generously:
+        # near-dup graphs converge in 2-3 rounds and unused budget is free,
+        # while a tight bound risks aborting a legitimately hard topology.
+        max_rounds = 4 * int(np.ceil(np.log2(n_rows + 2))) + 8
 
     prev_fp = None
+    labels = None
     for _ in range(max_rounds):
         state = partitioned_group_apply(
             state, "node", _round_partition, num_partitions=num_partitions
@@ -180,8 +204,16 @@ def connected_components(
         if fp == prev_fp:
             return labels
         prev_fp = fp
-    raise RuntimeError(
-        f"connected_components did not converge in {max_rounds} rounds "
-        f"({n_rows} initial membership rows) — the Hash-to-Min bound is "
-        "O(log n) rounds, so this indicates a defect, not a hard graph"
+    # Budget exhausted on an adversarial topology: return the best labels
+    # with a loud warning rather than abort — the caller may still find them
+    # converged (the fingerprint only PROVES stability when it repeats).
+    import warnings
+
+    warnings.warn(
+        f"connected_components did not provably converge in {max_rounds} "
+        f"rounds ({n_rows} initial membership rows); returning the last "
+        "round's labels — verify component stability before relying on them",
+        RuntimeWarning,
+        stacklevel=2,
     )
+    return labels

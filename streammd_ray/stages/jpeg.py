@@ -477,13 +477,30 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if rgb_passthrough:
         return np.dstack(planes).astype(np.uint8)
     y, cb, cr = planes
-    cb = cb - 128.0
-    cr = cr - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
+    return _ycc_to_rgb_libjpeg(y, cb, cr)
+
+
+# libjpeg's jdcolor.c constants: FIX(x) = int(x * 2^16 + 0.5); the descale
+# (v + 2^15) >> 16 is an arithmetic (floor) shift, so ties round half-UP in
+# the scaled domain — NOT round-half-even. Using the same fixed-point math
+# (including libjpeg's 5-decimal 0.34414/0.71414, not the exact BT.601
+# 0.344136/0.714136) makes the decoded RGB bit-identical to libjpeg.
+_FIX_1_40200 = int(1.40200 * 65536 + 0.5)
+_FIX_1_77200 = int(1.77200 * 65536 + 0.5)
+_FIX_0_34414 = int(0.34414 * 65536 + 0.5)
+_FIX_0_71414 = int(0.71414 * 65536 + 0.5)
+_ONE_HALF = 1 << 15
+
+
+def _ycc_to_rgb_libjpeg(y, cb, cr) -> np.ndarray:
+    """BT.601 YCbCr→RGB with libjpeg's exact fixed-point arithmetic."""
+    yi = y.astype(np.int64)
+    xb = cb.astype(np.int64) - 128
+    xr = cr.astype(np.int64) - 128
+    r = yi + ((_FIX_1_40200 * xr + _ONE_HALF) >> 16)
+    b = yi + ((_FIX_1_77200 * xb + _ONE_HALF) >> 16)
+    g = yi + ((-_FIX_0_34414 * xb - _FIX_0_71414 * xr + _ONE_HALF) >> 16)
     out = np.dstack([r, g, b])
-    np.rint(out, out=out)  # rounded color conversion, matching libjpeg
     np.clip(out, 0, 255, out=out)
     return out.astype(np.uint8)
 
@@ -557,6 +574,9 @@ def encode_jpeg_const(value: int, width: int, height: int) -> bytes:
             scan.append(b)
             if b == 0xFF:
                 scan.append(0x00)  # byte stuffing (B.1.1.5)
+        # drop already-flushed bits: an unmasked Python bigint grows with
+        # the whole scan and makes each shift O(total bits) => O(n^2)
+        acc &= (1 << nacc) - 1
     if nacc:
         b = ((acc << (8 - nacc)) | ((1 << (8 - nacc)) - 1)) & 0xFF
         scan.append(b)

@@ -103,3 +103,75 @@ def test_components_round_budget_is_logarithmic(ray_session):
     # 2*ceil(log2(4*64+2))+4 = 22 rounds available; min-label needs 64+
     df = connected_components(rd.from_arrow(t), num_partitions=4).to_pandas()
     assert (df["component"] == 0).all() and len(df) == 65
+
+
+def test_mix_pairs_exact_sum_and_bound():
+    """_mix_pairs must equal an exact Python-int reference (no uint64 wrap,
+    no float rounding) and every partial must sit below 2^42 so the int64
+    Sum aggregate cannot overflow before ~2M blocks."""
+    from streammd_ray.stages.components import _FP_MOD, _mix_pairs
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 2**62, 100_000).astype(np.int64)
+    b = rng.integers(0, 2**62, 100_000).astype(np.int64)
+    c1, c2, c3 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    M = 1 << 64
+
+    def ref_one(x, y):
+        z = ((x % M) * c1 % M) ^ ((y % M) * c2 % M)
+        z ^= z >> 31
+        z = z * c3 % M
+        z ^= z >> 27
+        return z
+
+    expected = sum(ref_one(int(x) % M, int(y) % M) for x, y in zip(a, b)) % _FP_MOD
+    got = _mix_pairs(a, b, c1, c2, c3)
+    assert got == expected
+    assert 0 <= got < _FP_MOD < (1 << 42)
+
+
+def test_fingerprint_uses_two_independent_mixes(ray_session):
+    """Two label tables engineered to collide under ONE SplitMix-sum would
+    still differ in the second sum; assert the fingerprint is a 3-tuple and
+    differs between genuinely different label sets of equal size."""
+    import ray.data as rd
+
+    from streammd_ray.stages.components import _label_fingerprint
+
+    t1 = pa.table(
+        {"node": pa.array([1, 2, 3], pa.int64()), "component": pa.array([1, 1, 1], pa.int64())}
+    )
+    t2 = pa.table(
+        {"node": pa.array([1, 2, 3], pa.int64()), "component": pa.array([1, 1, 2], pa.int64())}
+    )
+    f1 = _label_fingerprint(rd.from_arrow(t1))
+    f2 = _label_fingerprint(rd.from_arrow(t2))
+    assert len(f1) == len(f2) == 3
+    assert f1[0] == f2[0] == 3
+    assert f1[1:] != f2[1:]
+    # and both mixed sums changed — the two mixes are independent signals
+    assert f1[1] != f2[1] and f1[2] != f2[2]
+
+
+def test_components_budget_exhaustion_warns_not_raises(ray_session):
+    """With an absurdly small round budget the operator must warn and return
+    its best labels instead of aborting the whole job (round-4 advice)."""
+    import warnings
+
+    import ray.data as rd
+
+    from streammd_ray.stages.components import connected_components
+
+    edges = [(i, i + 1) for i in range(32)]
+    t = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in edges], pa.int64()),
+            "id_b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = connected_components(rd.from_arrow(t), num_partitions=4, max_rounds=1)
+    assert any("did not provably converge" in str(w.message) for w in caught)
+    # best-effort labels still cover every node
+    assert out.count() == 33

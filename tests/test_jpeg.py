@@ -513,12 +513,28 @@ def reference_recon(comps, qtables_by_tq, w, h, hmax, vmax):
     if len(planes) == 1:
         return planes[0].astype(np.uint8)
     y, cb, cr = planes
-    cb = cb - 128.0
-    cr = cr - 128.0
+    # libjpeg jdcolor.c fixed-point math (FIX(x)=int(x*2^16+0.5), floor
+    # descale) — same published formula the decoder implements, recomputed
+    # here independently of the decoder's entropy layer
+    yi = y.astype(np.int64)
+    xb = cb.astype(np.int64) - 128
+    xr = cr.astype(np.int64) - 128
+    half = 1 << 15
     out = np.dstack(
-        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb]
+        [
+            yi + ((int(1.40200 * 65536 + 0.5) * xr + half) >> 16),
+            yi
+            + (
+                (
+                    -int(0.34414 * 65536 + 0.5) * xb
+                    - int(0.71414 * 65536 + 0.5) * xr
+                    + half
+                )
+                >> 16
+            ),
+            yi + ((int(1.77200 * 65536 + 0.5) * xb + half) >> 16),
+        ]
     )
-    np.rint(out, out=out)
     np.clip(out, 0, 255, out=out)
     return out.astype(np.uint8)
 
@@ -808,3 +824,49 @@ def test_make_jpeg_media_table_oracle_arithmetic():
         img = decode_jpeg(payload)
         assert img.shape == (8 + (i * 23) % 49, 8 + (i * 19) % 49)
         assert (img == (i * 73) % 256).all()
+
+
+def test_ycc_to_rgb_fixed_vectors_match_libjpeg():
+    """Fixed vectors through the decoder's color converter, expected values
+    hand-computed with libjpeg's jdcolor.c fixed-point formula
+    (FIX(x)=int(x*2^16+0.5), +ONE_HALF, arithmetic >>16). The last three
+    vectors are cases where the previous float + round-half-even path gave a
+    DIFFERENT answer, so this test pins the tie/rounding mode explicitly."""
+    from streammd_ray.stages.jpeg import _ycc_to_rgb_libjpeg
+
+    vecs = [
+        # (y, cb, cr) -> (r, g, b) per libjpeg integer math
+        ((0, 0, 0), (0, 135, 0)),
+        ((255, 255, 255), (255, 121, 255)),
+        ((128, 128, 128), (128, 128, 128)),
+        ((76, 85, 255), (254, 0, 0)),
+        ((150, 44, 21), (0, 255, 1)),
+        ((29, 255, 107), (0, 0, 254)),
+        ((100, 128, 130), (103, 99, 100)),
+        # rint(float) would give G=8 / G=15 / G=22 here; libjpeg gives 9/16/23
+        ((0, 95, 132), (6, 9, 0)),
+        ((7, 95, 132), (13, 16, 0)),
+        ((14, 95, 132), (20, 23, 0)),
+    ]
+    y = np.array([[v[0][0] for v in vecs]], np.float64)
+    cb = np.array([[v[0][1] for v in vecs]], np.float64)
+    cr = np.array([[v[0][2] for v in vecs]], np.float64)
+    out = _ycc_to_rgb_libjpeg(y, cb, cr)
+    expected = np.array([[v[1] for v in vecs]], np.uint8)
+    assert np.array_equal(out, expected)
+
+
+def test_encode_jpeg_const_accumulator_stays_bounded():
+    """The scan writer masks its bit accumulator after each byte flush; a
+    large constant image must encode in linear time and round-trip exactly."""
+    from streammd_ray.stages.jpeg import encode_jpeg_const
+
+    import time
+
+    t0 = time.perf_counter()
+    payload = encode_jpeg_const(200, 1024, 1024)  # 16384 blocks
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 2.0  # O(n^2) bigint behavior took far longer here
+    img = decode_jpeg(payload)
+    assert img.shape == (1024, 1024)
+    assert (img == 200).all()
