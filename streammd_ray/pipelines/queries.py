@@ -2632,6 +2632,76 @@ def q_embedding_ann_ivf(sf_dir: str):
     q = np.stack([r["embedding"] for r in rows])
     return embedding_ivf_topk(ds, q, k=5, n_clusters=8, nprobe=3)
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): distributed 2-iteration k-means over the
+    embedding column (broadcast centroids, combiner-style partial sums), then
+    within-cluster pairwise cosine marks semantic duplicates (keep-first by
+    vec_id). Fully oracle-checked: fixed iterations, deterministic seeding
+    (k lowest ids), 6-decimal rounding before every discrete decision — the
+    SQL twin makes the identical decisions (stages/clustering.py docstring)."""
+    from ..stages.clustering import semantic_dedup
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    df = semantic_dedup(ds, k=8, iters=2, tau=0.4).to_pandas()
+    if df.empty:
+        return pd.DataFrame(
+            {
+                "vec_id": pd.Series(dtype=np.int64),
+                "cluster": pd.Series(dtype=np.int32),
+                "is_semantic_dup": pd.Series(dtype=bool),
+            }
+        )
+    return df.astype(
+        {"vec_id": np.int64, "cluster": np.int32, "is_semantic_dup": bool}
+    )
+
+
+def sql_semdedup() -> str:
+    # same algorithm, same discretization: round(dist, 6) argmin with ties →
+    # lowest cluster; avg update with empty clusters keeping their centroid;
+    # round(cosine, 6) >= tau vs lower-id same-cluster members
+    assign = """
+  SELECT vec_id, cluster, emb FROM (
+    SELECT e.vec_id, c.cluster, e.emb,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_distance(e.emb, c.cent), 6), c.cluster) AS rn
+    FROM e CROSS JOIN {cents} c
+  ) WHERE rn = 1
+"""
+    update = """
+  SELECT p.cluster, COALESCE(n.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN (
+    SELECT cluster, list(mv ORDER BY pos) AS cent FROM (
+      SELECT cluster, pos, avg(val) AS mv FROM (
+        SELECT cluster, unnest(emb) AS val,
+               unnest(range(1, len(emb) + 1)) AS pos
+        FROM {assigned}
+      ) GROUP BY cluster, pos
+    ) GROUP BY cluster
+  ) n USING (cluster)
+"""
+    return f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, emb AS cent
+  FROM (SELECT vec_id, emb FROM e ORDER BY vec_id LIMIT 8)
+),
+a1 AS ({assign.format(cents="c0")}),
+c1 AS ({update.format(prev="c0", assigned="a1")}),
+a2 AS ({assign.format(cents="c1")}),
+c2 AS ({update.format(prev="c1", assigned="a2")}),
+af AS ({assign.format(cents="c2")})
+SELECT a.vec_id, CAST(a.cluster AS INTEGER) AS cluster,
+  COALESCE(
+    bool_or(round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.4), FALSE
+  ) AS is_semantic_dup
+FROM af a LEFT JOIN af b ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+GROUP BY a.vec_id, a.cluster"""
+
+
 # ---------------------------------------------------------------------------
 # catalog
 # ---------------------------------------------------------------------------
@@ -2697,8 +2767,8 @@ QUERIES = {
     "conv_rolling_stats": q_conv_rolling_stats,
     "events_asof_signup": q_events_asof_signup,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "sample_documents": q_sample_documents,
     "sample_stratified": q_sample_stratified,
+    "semdedup": q_semdedup,
     "fuzzy_dedup_components": q_fuzzy_dedup_components,
     # --- slots 51+: oracle-backed projections of driver-recorded rows above
     # (kept as user API; each stays oracle-checked per-run in pytest via
@@ -2711,6 +2781,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "media_decode_png": q_media_decode_png,
     "media_gif_frames": q_media_gif_frames,
+    "sample_documents": q_sample_documents,
     # --- no-oracle queries (pytest property suites + accuracy twins) ---
     "hll_distinct_conversations": q_hll_distinct_conversations,
     "cms_heavy_tools": q_cms_heavy_tools,
@@ -2784,4 +2855,5 @@ ORACLES = {
     "fuzzy_dedup_components": sql_fuzzy_dedup_components(),
     "sample_documents": sql_sample_documents(),
     "sample_stratified": sql_sample_stratified(),
+    "semdedup": sql_semdedup(),
 }

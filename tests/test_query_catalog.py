@@ -14,12 +14,17 @@ DRIVER_CAP = 50
 
 # Oracle-backed queries deliberately placed past the driver cap.  Each needs
 # a justification here; adding to this set should be a conscious decision.
-# Every entry here must be a strict projection of a CONSOLIDATED query that
-# holds a driver-recorded slot (so nothing computed here goes unrecorded):
-# the three per-metric exact-quantile queries fold into `quantiles_exact`,
-# the three per-function text queries into `text_analysis`, and the two
-# per-codec compressed-decode queries into `media_decode_compressed`.  All
-# stay oracle-checked per-run in pytest (tests/test_entry_oracle.py).
+# Every entry must map to an in-cap query that exercises at least the same
+# computation (so nothing computed here goes driver-unrecorded), in one of
+# two forms: a strict PROJECTION of a consolidated row (the three
+# exact-quantile metrics fold into `quantiles_exact`, the three text
+# functions into `text_analysis`, the two compressed-codec legs into
+# `media_decode_compressed`), or a KERNEL SUBSET (`sample_documents` is
+# single-stratum uniform sampling — the identical seeded hash-threshold
+# kernel in stages/sampling.py that `sample_stratified` drives per-group,
+# displaced in round 5 to give the new `semdedup` operator family a
+# driver-recorded slot).  All stay oracle-checked per-run in pytest
+# (tests/test_entry_oracle.py).
 ALLOWED_PAST_CAP = {
     "turn_length_quantiles_exact": "quantiles_exact",
     "latency_quantiles_exact": "quantiles_exact",
@@ -29,6 +34,7 @@ ALLOWED_PAST_CAP = {
     "fingerprint": "text_analysis",
     "media_decode_png": "media_decode_compressed",
     "media_gif_frames": "media_decode_compressed",
+    "sample_documents": "sample_stratified",
 }
 
 
