@@ -84,9 +84,23 @@ def _assign(emb: np.ndarray, centroids: np.ndarray) -> tuple[np.ndarray, np.ndar
 
 def _init_centroids(ds, *, col: str, id_col: str, k: int) -> np.ndarray:
     """Deterministic seeding: the embeddings of the k smallest ids, ordered
-    by id — cluster j is seeded from the (j+1)-th smallest id. A top-k by
-    id, so the driver holds only k rows."""
-    rows = ds.sort(id_col).limit(k).take_all()
+    by id — cluster j is seeded from the (j+1)-th smallest id. Scale shape:
+    a per-batch partial top-k first (each block emits ≤ k rows), so the
+    global sort ranks only blocks×k rows instead of shuffling the corpus."""
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col], dtype=np.int64)
+        if len(ids) <= k:
+            return t
+        idx = np.argpartition(ids, k)[:k]
+        return t.take(pa.array(np.sort(idx)))
+
+    rows = (
+        ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(id_col)
+        .limit(k)
+        .take_all()
+    )
     if len(rows) < k:
         raise ValueError(f"k={k} exceeds the {len(rows)} available rows")
     return np.stack([np.asarray(r[col], dtype=np.float64) for r in rows])

@@ -134,3 +134,22 @@ def test_kmeans_k_exceeds_rows_raises(ray_session):
     ds = _ds_from([1, 2], np.zeros((2, 4), dtype=np.float32))
     with pytest.raises(ValueError, match="exceeds"):
         kmeans(ds, k=5, iters=1)
+
+
+def test_kmeans_multiblock_matches_single_block(ray_session):
+    """Partial-top-k seeding and per-block partial sums must be invariant to
+    how rows are split across blocks."""
+    from streammd_ray.stages.clustering import kmeans
+
+    rng = np.random.default_rng(33)
+    emb = rng.normal(size=(120, 8)).astype(np.float32)
+    ids = list(rng.permutation(120).astype(int))  # ids arrive unsorted
+    one = _ds_from(ids, emb)
+    many = _ds_from(ids, emb).repartition(7)
+    a, ca = kmeans(one, k=5, iters=2)
+    b, cb = kmeans(many, k=5, iters=2)
+    # partial-sum order differs across block splits → last-ulp drift only
+    assert np.allclose(ca, cb, rtol=1e-12, atol=1e-12)
+    da = a.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    db = b.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert da.equals(db)
