@@ -189,3 +189,20 @@ def test_validate_conversations(ray_session):
     ds3 = rd.from_arrow(pa.Table.from_pandas(bad2, preserve_index=False))
     with pytest.raises(ConversationValidationError, match="monotone"):
         validate_conversations(ds3)
+
+
+def test_exact_first_strategies_equivalent(ray_session, fixture_table):
+    """'join' (two slim exchanges + payload join), 'partition' (one payload
+    shuffle), and 'groups' (per-group reference) must agree cell-for-cell,
+    INCLUDING dtypes — the driver's schema hash sees any divergence."""
+    path, _ = fixture_table
+    outs = {}
+    for s in ("join", "partition", "groups"):
+        df = dedup_exact_first(rd.read_parquet(path), strategy=s).to_pandas()
+        cols = sorted(df.columns)
+        outs[s] = (
+            df[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        )
+    assert outs["join"].dtypes.equals(outs["partition"].dtypes)
+    assert outs["join"].equals(outs["partition"])
+    assert outs["join"].equals(outs["groups"])
