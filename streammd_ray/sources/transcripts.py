@@ -130,66 +130,66 @@ def derive_transcripts(sf_dir: str, *, ray_remote_args: dict | None = None):
         columns=["event_id", "ts", "user_id", "event_type"],
     )
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
-        rn = np.arange(len(g), dtype=np.int64)
-        uid = g["user_id"].iloc[0]
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        """All users of a hash partition in ONE vectorized pass (sort +
+        cython groupby-cumcount) — no per-user Python; this stage was the
+        dominant cost of the derivation as a per-group map_groups."""
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        rn = df.groupby("user_id", sort=False).cumcount().to_numpy(np.int64)
+        uid = df["user_id"].to_numpy()
         conv = np.char.add(
-            f"conv-{uid:04d}-",
-            np.char.zfill((rn // TURNS_PER_CONV).astype(str), 5),
+            np.char.add("conv-", np.char.zfill(uid.astype(str), 4)),
+            np.char.add("-", np.char.zfill((rn // TURNS_PER_CONV).astype(str), 5)),
         )
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "conv_id": conv,
                 "turn_idx": (rn % TURNS_PER_CONV).astype(np.int32),
-                "role": g["event_type"].map(_ROLE_MAP),
-                "event_id": g["event_id"].to_numpy(),
-                "event_type": g["event_type"].to_numpy(),
-                "ts": g["ts"].to_numpy(),
+                "role": df["event_type"].map(_ROLE_MAP).to_numpy(),
+                "event_id": df["event_id"].to_numpy(),
+                "event_type": df["event_type"].to_numpy(),
+                "ts": df["ts"].to_numpy(),
             }
         )
-        return out
 
-    ds = ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    from ..stages.windows import partitioned_group_apply
 
-    class AttachText:
-        """Broadcast lookup of document text by doc_id = event_id % ndocs."""
+    ds = partitioned_group_apply(ds, "user_id", per_partition)
 
-        def __init__(self, texts_ref, ndocs: int):
-            self.texts = ray.get(texts_ref)  # once per actor
-            self.ndocs = ndocs
+    # Task-based attach (plain function closing over the broadcast ref, the
+    # make_mark_fn pattern): fuses with the upstream stage — no actor pool
+    # to spawn per derivation, no extra object-store hop. The text array is
+    # ray.get'd ONCE PER WORKER PROCESS (cached in the closure's holder,
+    # zero-copy from the object store), never re-shipped per batch.
+    holder: dict = {}
 
-        def __call__(self, batch: pd.DataFrame) -> pa.Table:
-            eid = batch["event_id"].to_numpy()
-            text = self.texts[eid % self.ndocs].copy()
-            is_err = (batch["event_type"] == "error").to_numpy()
-            text[is_err] = None
-            tool = np.where(
-                np.isin(batch["event_type"].to_numpy(), ["purchase", "error"]),
-                np.char.add("tool-", (eid % N_TOOLS).astype(str)),
-                None,
-            )
-            return pa.Table.from_arrays(
-                [
-                    pa.array(batch["conv_id"].to_numpy(), pa.string()),
-                    pa.array(batch["turn_idx"].to_numpy(), pa.int32()),
-                    pa.array(batch["role"].to_numpy(), pa.string()),
-                    pa.array(text, pa.string()),
-                    pa.array(tool, pa.string()),
-                    pa.array(batch["ts"].to_numpy().astype("datetime64[us]")),
-                ],
-                schema=TRANSCRIPTS_SCHEMA,
-            )
+    def attach_text(batch: pd.DataFrame) -> pa.Table:
+        texts = holder.get("texts")
+        if texts is None:
+            texts = holder["texts"] = ray.get(texts_ref)
+        eid = batch["event_id"].to_numpy()
+        text = texts[eid % ndocs].copy()
+        is_err = (batch["event_type"] == "error").to_numpy()
+        text[is_err] = None
+        tool = np.where(
+            np.isin(batch["event_type"].to_numpy(), ["purchase", "error"]),
+            np.char.add("tool-", (eid % N_TOOLS).astype(str)),
+            None,
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(batch["conv_id"].to_numpy(), pa.string()),
+                pa.array(batch["turn_idx"].to_numpy(), pa.int32()),
+                pa.array(batch["role"].to_numpy(), pa.string()),
+                pa.array(text, pa.string()),
+                pa.array(tool, pa.string()),
+                pa.array(batch["ts"].to_numpy().astype("datetime64[us]")),
+            ],
+            schema=TRANSCRIPTS_SCHEMA,
+        )
 
-    # autoscaling pool: a fixed-size pool can deadlock a small CPU budget
-    # when composed with downstream stateful stages (each fixed pool
-    # pre-reserves its CPUs; (1, N) acquires lazily)
     return ds.map_batches(
-        AttachText,
-        batch_format="pandas",
-        fn_constructor_kwargs={"texts_ref": texts_ref, "ndocs": ndocs},
-        concurrency=(1, 4),
-        **(ray_remote_args or {}),
+        attach_text, batch_format="pandas", **(ray_remote_args or {})
     )
 
 
