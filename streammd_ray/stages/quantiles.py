@@ -78,7 +78,13 @@ def exact_quantile_select(
 ) -> list[float]:
     """Exact ``quantile_disc`` values (DuckDB rank rule: the value at sorted
     position ceil(q·n)−1, 0-indexed, nulls/NaNs excluded)."""
-    ds = ds.select_columns([col])
+    # project to the one column, then materialize: the refinement makes 3-5
+    # passes over the stream, and a LAZY ds re-executes its whole upstream
+    # chain (read + transforms) on every pass. The projected column is 8
+    # bytes/row — at 10^12 rows that is ~8 TB spread across a cluster's
+    # object store (spillable), strictly cheaper than re-scanning the source
+    # table per pass.
+    ds = ds.select_columns([col]).materialize()
 
     # pass 0: global count / min / max (.item() keeps int64 columns exact —
     # Python ints, never a lossy float64 round-trip)
