@@ -70,16 +70,31 @@ def _embedding_matrix(col, dim: int | None = None) -> np.ndarray:
     return flat.reshape(n, d)
 
 
+# cap on the (rows × k × dim) float64 difference tensor one _assign slice
+# may allocate (~256 MB); rows are chunked to respect it, so realistic
+# SemDeDup cluster counts (k ~ 10^4) cannot blow a worker heap
+_ASSIGN_TENSOR_ELEMS = 32_000_000
+
+
 def _assign(emb: np.ndarray, centroids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(rounded Euclidean distance, argmin cluster) per row; ties → lowest
     cluster index (np.argmin takes the first minimum)."""
-    # direct (x - c)^2 per element — same per-element squares the SQL twin's
-    # list_distance computes, so the 6-decimal rounding aligns both engines
-    diff = emb[:, None, :] - centroids[None, :, :]
-    d = np.sqrt(np.einsum("bkd,bkd->bk", diff, diff))
-    d = np.round(d, ROUND_DECIMALS)
-    labels = d.argmin(axis=1)
-    return d[np.arange(len(labels)), labels], labels
+    n = len(emb)
+    k, dim = centroids.shape
+    dist = np.empty(n, dtype=np.float64)
+    labels = np.empty(n, dtype=np.int64)
+    step = max(1, _ASSIGN_TENSOR_ELEMS // max(1, k * dim))
+    for s in range(0, n, step):
+        e = emb[s : s + step]
+        # direct (x - c)^2 per element — same per-element squares the SQL
+        # twin's list_distance computes, so 6-decimal rounding aligns both
+        diff = e[:, None, :] - centroids[None, :, :]
+        d = np.sqrt(np.einsum("bkd,bkd->bk", diff, diff))
+        d = np.round(d, ROUND_DECIMALS)
+        lab = d.argmin(axis=1)
+        labels[s : s + step] = lab
+        dist[s : s + step] = d[np.arange(len(lab)), lab]
+    return dist, labels
 
 
 def _init_centroids(ds, *, col: str, id_col: str, k: int) -> np.ndarray:
