@@ -275,6 +275,110 @@ def _multi_member_buckets(ds, keys, *, num_partitions: int | None = None):
     return ds.join(multi, "left_semi", num_partitions=num_partitions, on=tuple(keys))
 
 
+def _pairs_within_partition(
+    df: pd.DataFrame,
+    key_cols: tuple,
+    id_col: str,
+    *,
+    max_bucket: int,
+    val_col: str | None = None,
+) -> pd.DataFrame:
+    """All-pairs (id_a < id_b) within every (key_cols) group of a partition
+    frame, vectorized across ALL groups at once — no per-bucket Python.
+
+    Replaces the per-group ``groupby(keys).map_groups(bucket_pairs)`` shape:
+    the semi-join drops singleton buckets, but at web scale the surviving
+    multi-member buckets still number in the millions and a pandas UDF call
+    per bucket is the hot loop. Here one sort + cython ngroup/cumcount +
+    the classic repeat-offset construction emit every within-group pair in
+    O(pairs) numpy. Groups are capped at ``max_bucket`` ids (the first
+    ``max_bucket`` in id order — identical to the previous per-group
+    ``sort → head`` rule); duplicate (keys, id) rows are dropped first.
+    ``val_col`` optionally carries one int64 per row onto the pairs as
+    (val_a, val_b) — e.g. SimHash fingerprints for the Hamming filter.
+    """
+    empty = {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
+    if val_col is not None:
+        empty["val_a"] = pd.Series(dtype=np.int64)
+        empty["val_b"] = pd.Series(dtype=np.int64)
+    if df.empty:
+        return pd.DataFrame(empty)
+    cols = list(key_cols) + [id_col]
+    df = df.sort_values(cols, kind="stable").drop_duplicates(subset=cols)
+    rank = df.groupby(list(key_cols), sort=False).cumcount().to_numpy(np.int64)
+    keep = rank < max_bucket
+    df = df.loc[keep]
+    rank = rank[keep]
+    if not len(df) or rank.sum() == 0:
+        return pd.DataFrame(empty)
+    gid = df.groupby(list(key_cols), sort=False).ngroup().to_numpy(np.int64)
+    ids = df[id_col].to_numpy(np.int64)
+    n = len(ids)
+    starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+    counts = np.diff(np.r_[starts, n])
+    start_per_row = np.repeat(starts, counts)
+    # row j (group-local rank r_j) pairs with the r_j rows before it in its
+    # group: repeat j r_j times as the b-side; the a-side indices are the
+    # per-row ranges [group_start, group_start + r_j)
+    total = int(rank.sum())
+    idx_b = np.repeat(np.arange(n), rank)
+    rng = np.arange(total) - np.repeat(np.cumsum(rank) - rank, rank)
+    idx_a = np.repeat(start_per_row, rank) + rng
+    out = {"id_a": ids[idx_a], "id_b": ids[idx_b]}
+    if val_col is not None:
+        vals = df[val_col].to_numpy(np.int64)
+        out["val_a"] = vals[idx_a]
+        out["val_b"] = vals[idx_b]
+    return pd.DataFrame(out)
+
+
+def _grouped_pair_stage(
+    ds,
+    key_cols: tuple,
+    id_col: str,
+    *,
+    max_bucket: int,
+    val_col: str | None = None,
+    num_partitions: int | None = None,
+):
+    """Hash-partition by the (integer) bucket keys, then run
+    :func:`_pairs_within_partition` once per partition. One shuffle keyed on
+    a mixed hash of the key tuple; every group lands whole in one partition."""
+    from ..context import auto_num_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_num_partitions()
+    kc = tuple(key_cols)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = np.zeros(len(t), dtype=np.uint64)
+        for c in kc:
+            col = t[c].combine_chunks() if isinstance(t[c], pa.ChunkedArray) else t[c]
+            h = _splitmix64(
+                h ^ np.asarray(col, dtype=np.int64).view(np.uint64)
+            )
+        part = (h % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32()))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_within_partition(
+            g.drop(columns="__part"), kc, id_col,
+            max_bucket=max_bucket, val_col=val_col,
+        )
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(kernel, batch_format="pandas")
+    )
+
+
+# 16-bit popcount LUT: four lookups + a sum per uint64, fully vectorized
+# (np.unpackbits on pair-scale arrays is pathologically slow on this host —
+# same lesson as the Bloom count_estimate fix, sketches/bloom.py)
+_POP16 = np.array([bin(i).count("1") for i in range(65536)], dtype=np.uint8)
+
+
 class MinHasher:
     """Vectorized minhash signatures: per doc, sig_i = min over shingles of
     ((a_i·h + b_i) mod p), h = 64-bit shingle hash. Deterministic (seeded
@@ -487,19 +591,14 @@ def minhash_lsh_pairs(
 
     MAX_BUCKET = 256  # skew cap: beyond this, a bucket is all-duplicates anyway
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
-            )
-        ids = np.sort(g[id_col].to_numpy())[:MAX_BUCKET]
-        iu = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
-
-    cand = (
-        _multi_member_buckets(exploded, ("band", "bucket"))
-        .groupby(["band", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    # partition-vectorized all-pairs: one shuffle on the bucket-key hash,
+    # every group's pairs emitted by _pairs_within_partition in O(pairs)
+    # numpy (no pandas call per bucket)
+    cand = _grouped_pair_stage(
+        _multi_member_buckets(exploded, ("band", "bucket")),
+        ("band", "bucket"),
+        id_col,
+        max_bucket=MAX_BUCKET,
     ).map_batches(
         lambda t: t, batch_format="pyarrow", zero_copy_batch=True
     )  # pandas→arrow: Ray's hash aggregate is ~20x slower on pandas blocks
@@ -678,24 +777,20 @@ def simhash_pairs(
 
     MAX_BUCKET = 512
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values(id_col).head(MAX_BUCKET)
-        ids = g[id_col].to_numpy()
-        fp = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        n = len(ids)
-        x = fp[:, None] ^ fp[None, :]
-        # popcount via unpackbits on the byte view
-        pop = np.unpackbits(x.view(np.uint8).reshape(n, n, 8), axis=2).sum(axis=2)
-        iu = np.triu_indices(n, k=1)
-        d = pop[iu]
+    def hamming_filter(t: pa.Table) -> pa.Table:
+        """XOR + LUT popcount over a whole batch of candidate pairs at once
+        (the per-bucket unpackbits matrix this replaces was both per-group
+        Python AND the slow-unpackbits path)."""
+        a = np.asarray(t["val_a"].combine_chunks(), dtype=np.int64).view(np.uint64)
+        b = np.asarray(t["val_b"].combine_chunks(), dtype=np.int64).view(np.uint64)
+        x = np.ascontiguousarray(a ^ b).view(np.uint16).reshape(-1, 4)
+        d = _POP16[x].sum(axis=1, dtype=np.int64)
         keep = d <= max_hamming
-        return pd.DataFrame(
+        return pa.table(
             {
-                "id_a": ids[iu[0][keep]],
-                "id_b": ids[iu[1][keep]],
-                "hamming": d[keep].astype(np.int64),
+                "id_a": t["id_a"].combine_chunks().filter(pa.array(keep)),
+                "id_b": t["id_b"].combine_chunks().filter(pa.array(keep)),
+                "hamming": pa.array(d[keep], pa.int64()),
             }
         )
 
@@ -704,12 +799,14 @@ def simhash_pairs(
         .select_columns([id_col, "simhash"])
         .map_batches(explode, batch_format="pyarrow")
     )
-    pairs = (
-        _multi_member_buckets(pairs, ("chunk", "val"))
-        .groupby(["chunk", "val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    pairs = _grouped_pair_stage(
+        _multi_member_buckets(pairs, ("chunk", "val")),
+        ("chunk", "val"),
+        id_col,
+        max_bucket=MAX_BUCKET,
+        val_col="simhash",
     ).map_batches(
-        lambda t: t, batch_format="pyarrow", zero_copy_batch=True
+        hamming_filter, batch_format="pyarrow", zero_copy_batch=True
     )  # pandas→arrow: Ray's hash aggregate is ~20x slower on pandas blocks
     # the same pair surfaces from several chunks with the SAME hamming —
     # a Min aggregate dedups in one vectorized hash aggregation instead of
@@ -1399,21 +1496,15 @@ def winnow_overlap_pairs(
 
     exploded = ds.map_batches(fps, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].unique())[:max_bucket]
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
-            )
-        iu = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]]})
-
     from ray.data.aggregate import Count
 
     cand = (
-        _multi_member_buckets(exploded, ("fp",))
-        .groupby("fp")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        _grouped_pair_stage(
+            _multi_member_buckets(exploded, ("fp",)),
+            ("fp",),
+            id_col,
+            max_bucket=max_bucket,
+        )
         .map_batches(
             lambda t: t, batch_format="pyarrow", zero_copy_batch=True
         )  # pandas→arrow before the hash aggregate
