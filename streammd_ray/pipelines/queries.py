@@ -2632,6 +2632,60 @@ def q_embedding_ann_ivf(sf_dir: str):
     q = np.stack([r["embedding"] for r in rows])
     return embedding_ivf_topk(ds, q, k=5, n_clusters=8, nprobe=3)
 
+def q_redact_pii(sf_dir: str):
+    """PII redaction over a deterministic PII-bearing text derived from the
+    events table (the synthetic corpus texts contain no emails/numbers, so
+    the redaction decisions would be vacuous on them; deriving the text
+    from parquet columns on BOTH sides makes every replacement
+    driver-checkable). Engine side: one pyarrow.compute RE2 kernel per
+    pattern (stages/text.py redact_pii — reference has no text transforms,
+    src/markdups.cxx treats records as opaque)."""
+    from ..stages.text import redact_pii
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id"]
+    )
+
+    def build_text(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].combine_chunks()
+        uid = t["user_id"].combine_chunks()
+        text = pc.binary_join_element_wise(
+            "contact u",
+            pc.cast(uid, pa.string()),
+            "@example.com or ref ",
+            pc.cast(pc.multiply(pc.cast(eid, pa.int64()), 7919), pa.string()),
+            " via 10.0.",
+            pc.cast(pc.subtract(uid, pc.multiply(pc.divide(uid, 256), 256)), pa.string()),
+            ".",
+            pc.cast(pc.subtract(eid, pc.multiply(pc.divide(eid, 256), 256)), pa.string()),
+            "",
+        )
+        return pa.table({"event_id": eid, "text": text})
+
+    out = ds.map_batches(build_text, batch_format="pyarrow", zero_copy_batch=True)
+    out = out.map_batches(redact_pii, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(
+        ["event_id", "n_email", "n_ipv4", "n_digits", "text_redacted"]
+    )
+
+
+def sql_redact_pii() -> str:
+    from ..stages.text import redact_pii_sql
+
+    exprs = ",\n  ".join(redact_pii_sql("text"))
+    return f"""WITH built AS (
+  SELECT event_id,
+         'contact u' || CAST(user_id AS VARCHAR) || '@example.com or ref '
+         || CAST(event_id * 7919 AS VARCHAR) || ' via 10.0.'
+         || CAST(user_id % 256 AS VARCHAR) || '.'
+         || CAST(event_id % 256 AS VARCHAR) AS text
+  FROM events
+)
+SELECT event_id,
+  {exprs}
+FROM built"""
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): distributed 2-iteration k-means over the
     embedding column (broadcast centroids, combiner-style partial sums), then
@@ -2749,7 +2803,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "media_ppm_stats": q_media_ppm_stats,
     "media_wav_stats": q_media_wav_stats,
-    "media_decode_bmp": q_media_decode_bmp,
+    "redact_pii": q_redact_pii,
     "media_decode_compressed": q_media_decode_compressed,
     "q1_lineitem": q_q1_lineitem,
     "q3_shipping_priority": q_q3_shipping_priority,
@@ -2782,6 +2836,7 @@ QUERIES = {
     "media_decode_png": q_media_decode_png,
     "media_gif_frames": q_media_gif_frames,
     "sample_documents": q_sample_documents,
+    "media_decode_bmp": q_media_decode_bmp,
     # --- no-oracle queries (pytest property suites + accuracy twins) ---
     "hll_distinct_conversations": q_hll_distinct_conversations,
     "cms_heavy_tools": q_cms_heavy_tools,
@@ -2856,4 +2911,5 @@ ORACLES = {
     "sample_documents": sql_sample_documents(),
     "sample_stratified": sql_sample_stratified(),
     "semdedup": sql_semdedup(),
+    "redact_pii": sql_redact_pii(),
 }

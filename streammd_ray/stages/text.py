@@ -239,3 +239,56 @@ def fingerprint_sql(col: str = "text", out: str = "fingerprint") -> str:
     return (
         f"md5(regexp_replace(lower({col}), '{_WS_RE}', ' ', 'g')) AS {out}"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (corpus-cleaning op; reference engine has no text transforms
+# at all — src/markdups.cxx treats records as opaque. This extends the
+# SURVEY.md §2.9 corpus family the way C4/Gopher pipelines pair cleaning
+# with redaction.)
+# ---------------------------------------------------------------------------
+
+# Deliberately simple RE2 patterns: BOTH pyarrow.compute and DuckDB run RE2,
+# so keeping to shared-core syntax (no lookaround, no backrefs) makes every
+# replacement decision identical in the engine and the SQL oracle twin.
+PII_PATTERNS = (
+    # order matters: emails first (an email contains digit runs), then IPv4,
+    # then long digit runs (phone-ish / account-ish identifiers)
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("digits", r"\b\d{7,}\b", "<NUM>"),
+)
+
+
+def redact_pii(batch: pa.Table, *, col: str = "text") -> pa.Table:
+    """Vectorized PII scrub: replaces emails / IPv4s / 7+-digit runs with
+    typed placeholders and appends per-kind match counts (`n_email`,
+    `n_ipv4`, `n_digits`) plus the redacted text (`text_redacted`).
+    One pyarrow.compute kernel per pattern — no Python per row."""
+    text = batch[col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    out = text
+    for name, pattern, token in PII_PATTERNS:
+        n = pc.fill_null(pc.count_substring_regex(out, pattern), 0)
+        batch = set_column(batch, f"n_{name}", pc.cast(n, pa.int64()))
+        out = pc.replace_substring_regex(out, pattern, token)
+    return set_column(batch, "text_redacted", out)
+
+
+def redact_pii_sql(col: str = "text") -> list[str]:
+    """SQL twins of :func:`redact_pii` (DuckDB regexp_* is RE2 too, so the
+    same patterns make the same decisions). Returns the select expressions
+    for the counts and the redacted text, applied in the same order."""
+    exprs = []
+    chain = col
+    for name, pattern, token in PII_PATTERNS:
+        pat = pattern.replace("'", "''")
+        # COALESCE mirrors the engine's fill_null(count, 0) on null text
+        exprs.append(
+            f"CAST(COALESCE(len(regexp_extract_all({chain}, '{pat}')), 0) "
+            f"AS BIGINT) AS n_{name}"
+        )
+        chain = f"regexp_replace({chain}, '{pat}', '{token}', 'g')"
+    exprs.append(f"{chain} AS text_redacted")
+    return exprs

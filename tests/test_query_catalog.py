@@ -23,8 +23,13 @@ DRIVER_CAP = 50
 # single-stratum uniform sampling — the identical seeded hash-threshold
 # kernel in stages/sampling.py that `sample_stratified` drives per-group,
 # displaced in round 5 to give the new `semdedup` operator family a
-# driver-recorded slot).  All stay oracle-checked per-run in pytest
-# (tests/test_entry_oracle.py).
+# driver-recorded slot).  A third category, PLUMBING TWIN, covers
+# `media_decode_bmp`: its MediaDecodeStage plumbing (actor pool, registry,
+# schema) is identically driven in-cap by `media_ppm_stats` /
+# `media_wav_stats` / `media_decode_compressed`, and only the BMP container
+# parse is unique — displaced in round 5 to give the new `redact_pii`
+# operator a driver-recorded slot.  All stay oracle-checked per-run in
+# pytest (tests/test_entry_oracle.py).
 ALLOWED_PAST_CAP = {
     "turn_length_quantiles_exact": "quantiles_exact",
     "latency_quantiles_exact": "quantiles_exact",
@@ -35,6 +40,7 @@ ALLOWED_PAST_CAP = {
     "media_decode_png": "media_decode_compressed",
     "media_gif_frames": "media_decode_compressed",
     "sample_documents": "sample_stratified",
+    "media_decode_bmp": "media_decode_compressed",
 }
 
 

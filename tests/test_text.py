@@ -104,3 +104,37 @@ def test_stages_in_ray_pipeline(ray_session):
     assert df["n_tokens"].gt(0).all()
     assert df["fingerprint"].notna().all()
     assert df["quality"].between(0, 1).all()
+
+
+def test_redact_pii_matches_duckdb_on_adversarial_strings():
+    """Engine redaction vs the SQL twin on crafted edge strings (both run
+    RE2, so identical patterns must make identical decisions) — including
+    null text, boundary-length digit runs, malformed emails/IPs."""
+    import duckdb
+    import pyarrow as pa
+
+    from streammd_ray.stages.text import redact_pii, redact_pii_sql
+
+    samples = [
+        "mail a.b-c%d+e@ex-ample.co.uk or 10.0.0.1 now",
+        "call 12345678 and 123456 or 1.2.3.4567",
+        "x@y.z a@@b.cc 999.999.999.999 12345678901234567890",
+        None,
+        "",
+        "no pii here",
+        "ip 001.002.003.004 edge",
+        "u1@a.bc u2@a.bc same line 7777777",
+        "glued7777777@x.yz end",
+        "dot.end. 1234567.",
+    ]
+    t = pa.table({"text": pa.array(samples, pa.string())})
+    got = redact_pii(t).to_pandas()
+
+    con = duckdb.connect()
+    exprs = ",\n".join(redact_pii_sql("s"))
+    want = con.execute(
+        f"SELECT {exprs} FROM (SELECT unnest(?) AS s)", [samples]
+    ).fetchdf()
+    for c in ("n_email", "n_ipv4", "n_digits", "text_redacted"):
+        assert got[c].where(got[c].notna(), None).tolist() == \
+            want[c].where(want[c].notna(), None).tolist(), c
