@@ -2686,6 +2686,26 @@ SELECT event_id,
 FROM built"""
 
 
+def q_top_docs_per_source(sf_dir: str):
+    """Grouped LIMIT: the 3 longest documents per source (ties broken by
+    doc_id) — the keep-best-k-per-domain curation primitive
+    (stages/windows.py top_k_per_group; one hash shuffle + one vectorized
+    head(k) pass per partition). Registered past the driver cap without an
+    ORACLES entry to keep the catalog contract tight; the exact DuckDB
+    comparison lives in tests/test_windows.py
+    (test_top_k_per_group_matches_duckdb)."""
+    from ..stages.windows import top_k_per_group
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    out = top_k_per_group(
+        ds, ["source"], "n_chars", k=3, descending=True, tie_cols=["doc_id"]
+    )
+    df = out.to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    return df.astype({"doc_id": np.int64, "n_chars": np.int64})
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): distributed 2-iteration k-means over the
     embedding column (broadcast centroids, combiner-style partial sums), then
@@ -2849,6 +2869,7 @@ QUERIES = {
     "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ann_ivf": q_embedding_ann_ivf,
+    "top_docs_per_source": q_top_docs_per_source,
 }
 
 ORACLES = {

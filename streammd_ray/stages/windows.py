@@ -125,3 +125,39 @@ def per_key_diff_partition(ts_col: str = "ts", out_col: str = "dt_us"):
         return pd.DataFrame({out_col: dt.astype(np.int64).to_numpy()})
 
     return fn
+
+
+def top_k_per_group(
+    ds,
+    group_cols,
+    order_col: str,
+    *,
+    k: int,
+    descending: bool = True,
+    tie_cols=(),
+    num_partitions: int = 64,
+):
+    """Keep the k best rows of every group — the 'best-k documents per
+    domain / per source' curation primitive (a grouped LIMIT, which Ray
+    Data's sort().limit() cannot express per-group).
+
+    One hash shuffle on the first group column, then ONE vectorized
+    sort + cython ``groupby(...).head(k)`` per partition — no per-group
+    Python. ``tie_cols`` break order ties deterministically (ascending),
+    making the result reproducible under any partition layout; callers
+    should include a unique id there whenever ``order_col`` can repeat.
+    """
+    import pandas as pd
+
+    gcols = list(group_cols)
+    tcols = list(tie_cols)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            gcols + [order_col] + tcols,
+            ascending=[True] * len(gcols) + [not descending] + [True] * len(tcols),
+            kind="stable",
+        )
+        return df.groupby(gcols, sort=False).head(k)
+
+    return partitioned_group_apply(ds, gcols[0], fn, num_partitions=num_partitions)

@@ -108,3 +108,62 @@ def test_rolling_mean_partition_alignment(ray_session):
     assert out.loc[("a", 1)] == 2.0
     assert out.loc[("a", 2)] == 3.0
     assert out.loc[("b", 1)] == 3.0
+
+
+def test_top_k_per_group_matches_duckdb(ray_session):
+    """Grouped LIMIT vs the window-function oracle at two scale factors —
+    the per-query catalog entry (top_docs_per_source) points here for its
+    exact check (it is registered without an ORACLES slot)."""
+    import duckdb
+
+    from streammd_ray.pipelines.queries import q_top_docs_per_source
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = q_top_docs_per_source(sf)
+        con = duckdb.connect()
+        want = con.execute(
+            f"""SELECT doc_id, source, n_chars
+FROM read_parquet('{sf}/documents.parquet')
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 3
+ORDER BY source, doc_id"""
+        ).fetchdf()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        a = got[cols].reset_index(drop=True)
+        b = want[cols].sort_values(["source", "doc_id"]).reset_index(drop=True)
+        assert a.astype(str).equals(b.astype(str)), sf
+
+
+def test_top_k_per_group_multigroup_and_ascending(ray_session):
+    """Multi-column groups + ascending order + k larger than some groups."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from streammd_ray.stages.windows import top_k_per_group
+
+    rng = np.random.default_rng(8)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "g1": rng.integers(0, 7, n),
+            "g2": rng.integers(0, 3, n),
+            "v": rng.integers(0, 50, n),
+            "id": np.arange(n),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = (
+        top_k_per_group(ds, ["g1", "g2"], "v", k=4, descending=False, tie_cols=["id"])
+        .to_pandas()
+        .sort_values(["g1", "g2", "v", "id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["g1", "g2", "v", "id"], kind="stable")
+        .groupby(["g1", "g2"], sort=False)
+        .head(4)
+        .sort_values(["g1", "g2", "v", "id"])
+        .reset_index(drop=True)
+    )
+    assert out.astype(str).equals(want.astype(str))
