@@ -513,3 +513,43 @@ def test_batch_fingerprints_accepts_arrow_and_matches_lists():
     a = sh.batch_fingerprints(texts)
     b = sh.batch_fingerprints(pa.array(texts, pa.string()))
     assert (a == b).all()
+
+
+def test_pairs_within_partition_matches_bruteforce():
+    """Property check of the vectorized repeat-offset pair construction vs
+    a per-group brute force, across random frames with duplicate (key, id)
+    rows, singleton groups, and caps that truncate some groups."""
+    import itertools
+
+    import pandas as pd
+
+    from streammd_ray.stages.similarity import _pairs_within_partition
+
+    rng = np.random.default_rng(123)
+    for trial in range(20):
+        n = int(rng.integers(0, 120))
+        df = pd.DataFrame(
+            {
+                "k1": rng.integers(0, 5, n),
+                "k2": rng.integers(0, 4, n),
+                "doc_id": rng.integers(0, 25, n),
+                "val": rng.integers(-(2**62), 2**62, n),
+            }
+        )
+        cap = int(rng.integers(1, 6))
+        got = _pairs_within_partition(
+            df, ("k1", "k2"), "doc_id", max_bucket=cap, val_col="val"
+        )
+        got_set = set(
+            zip(got["id_a"], got["id_b"], got["val_a"], got["val_b"])
+        )
+        want = set()
+        dedup = df.sort_values(["k1", "k2", "doc_id"]).drop_duplicates(
+            subset=["k1", "k2", "doc_id"]
+        )
+        for _, g in dedup.groupby(["k1", "k2"]):
+            rows = list(g.itertuples())[:cap]
+            for a, b in itertools.combinations(rows, 2):
+                want.add((a.doc_id, b.doc_id, a.val, b.val))
+        assert got_set == want, trial
+        assert (got["id_a"] < got["id_b"]).all()
