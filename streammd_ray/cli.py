@@ -58,12 +58,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument(
         "--bloom-layout",
-        choices=("classic", "blocked", "split"),
+        choices=("classic", "blocked", "split", "exact"),
         default=None,
         help="Bloom probe geometry: classic = reference double-hashing "
         "(default); blocked = all k probes in one cache line; split = "
         "one bit per 64-bit lane of the line (fastest kernel, structural "
-        "k=8). Non-classic layouts trade a documented FPR model shift for "
+        "k=8); exact = a true 128-bit-key set, p=0 at ~16 bytes/key. "
+        "Non-classic probabilistic layouts trade a documented FPR model shift for "
         "probe speed — the capacity report always shows the layout's "
         "honest marginal FPR",
     )

@@ -44,17 +44,21 @@ from ..hashing import SEED_A, SEED_B, hash_pair_batch
 from ..sketches.bloom import (
     BlockedBloomFilter,
     BloomFilter,
+    ExactSetFilter,
     SplitBlockBloomFilter,
 )
 
 KEY_H1 = "__key_h1"
 KEY_H2 = "__key_h2"
 
-#: probe-layout registry (see _BloomShard.__init__ for the semantics)
+#: probe-layout registry (see _BloomShard.__init__ for the semantics);
+#: "exact" trades ~16 bytes/key for p = 0 — stream-order exact marking at
+#: the flagship's shuffle profile (sketches/bloom.py ExactSetFilter)
 BLOOM_LAYOUTS = {
     "classic": BloomFilter,
     "blocked": BlockedBloomFilter,
     "split": SplitBlockBloomFilter,
+    "exact": ExactSetFilter,
 }
 
 
