@@ -2706,6 +2706,26 @@ def q_top_docs_per_source(sf_dir: str):
     return df.astype({"doc_id": np.int64, "n_chars": np.int64})
 
 
+def q_source_length_quantiles(sf_dir: str):
+    """Exact per-group quantiles: p50/p90/p99 of n_chars per source
+    (stages/windows.py grouped_quantiles — one hash shuffle + one
+    vectorized index-arithmetic pass per partition). Registered past the
+    driver cap without an ORACLES entry; the exact DuckDB comparison lives
+    in tests/test_windows.py (test_grouped_quantiles_matches_duckdb)."""
+    from ..stages.windows import grouped_quantiles
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+    df = (
+        grouped_quantiles(ds, ["source"], "n_chars")
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    return df.astype({"p50": np.int64, "p90": np.int64, "p99": np.int64})
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): distributed 2-iteration k-means over the
     embedding column (broadcast centroids, combiner-style partial sums), then
@@ -2870,6 +2890,7 @@ QUERIES = {
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ann_ivf": q_embedding_ann_ivf,
     "top_docs_per_source": q_top_docs_per_source,
+    "source_length_quantiles": q_source_length_quantiles,
 }
 
 ORACLES = {

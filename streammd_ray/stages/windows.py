@@ -161,3 +161,51 @@ def top_k_per_group(
         return df.groupby(gcols, sort=False).head(k)
 
     return partitioned_group_apply(ds, gcols[0], fn, num_partitions=num_partitions)
+
+
+def grouped_quantiles(
+    ds,
+    group_cols,
+    value_col: str,
+    qs=(0.5, 0.9, 0.99),
+    names=("p50", "p90", "p99"),
+    *,
+    num_partitions: int = 64,
+):
+    """EXACT per-group ``quantile_disc`` (DuckDB rank rule: the value at
+    sorted position ceil(q·n)−1 within each group, nulls dropped) — the
+    grouped companion of stages/quantiles.exact_quantile_select, for the
+    common per-domain / per-source distribution reports.
+
+    One hash shuffle on the first group column, then ONE vectorized pass
+    per partition: sort by (group, value), group boundaries via flatnonzero,
+    every requested quantile taken by pure index arithmetic across ALL
+    groups at once. Unlike the global operator (histogram refinement, no
+    shuffle), a group's values must co-locate — the shuffle is inherent;
+    each group's data only needs to fit its partition, not the driver.
+    Groups whose values are all null are omitted (callers needing SQL's
+    NULL-row semantics can left-join the group list back).
+    """
+    import pandas as pd
+
+    gcols = list(group_cols)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.dropna(subset=[value_col])
+        if df.empty:
+            out = pd.DataFrame({c: df[c] for c in gcols})
+            for name in names:
+                out[name] = pd.Series(dtype=df[value_col].dtype)
+            return out
+        df = df.sort_values(gcols + [value_col], kind="stable")
+        v = df[value_col].to_numpy()
+        gid = df.groupby(gcols, sort=False).ngroup().to_numpy()
+        starts = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
+        counts = np.diff(np.r_[starts, len(gid)])
+        out = df.iloc[starts][gcols].reset_index(drop=True)
+        for q, name in zip(qs, names):
+            pos = starts + np.maximum(0, np.ceil(q * counts).astype(np.int64) - 1)
+            out[name] = v[pos]
+        return out
+
+    return partitioned_group_apply(ds, gcols[0], fn, num_partitions=num_partitions)

@@ -167,3 +167,56 @@ def test_top_k_per_group_multigroup_and_ascending(ray_session):
         .reset_index(drop=True)
     )
     assert out.astype(str).equals(want.astype(str))
+
+
+def test_grouped_quantiles_matches_duckdb(ray_session):
+    """Exact per-group quantile_disc vs DuckDB at two scale factors — the
+    catalog entry (source_length_quantiles) points here for its check."""
+    import duckdb
+
+    from streammd_ray.pipelines.queries import q_source_length_quantiles
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = q_source_length_quantiles(sf)
+        want = duckdb.connect().execute(
+            f"""SELECT source,
+  quantile_disc(n_chars, 0.5) AS p50,
+  quantile_disc(n_chars, 0.9) AS p90,
+  quantile_disc(n_chars, 0.99) AS p99
+FROM read_parquet('{sf}/documents.parquet')
+GROUP BY source ORDER BY source"""
+        ).fetchdf()
+        assert got[sorted(got.columns)].astype(str).equals(
+            want.sort_values("source").reset_index(drop=True)[
+                sorted(want.columns)
+            ].astype(str)
+        ), sf
+
+
+def test_grouped_quantiles_nulls_and_dtypes(ray_session):
+    """Null values dropped per group; all-null groups omitted; exact rank
+    rule on tiny groups (n=1, n=2)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from streammd_ray.stages.windows import grouped_quantiles
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b", "c", "d"],
+            "v": [10.0, None, 30.0, 7.0, None, None, 5.0],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = (
+        grouped_quantiles(ds, ["g"], "v", qs=(0.5, 1.0), names=("p50", "p100"))
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    # group c is all-null -> omitted; a has values [10, 30]: p50 = value at
+    # ceil(0.5*2)-1 = idx 0 = 10; p100 = idx 1 = 30
+    assert out["g"].tolist() == ["a", "b", "d"]
+    assert out["p50"].tolist() == [10.0, 7.0, 5.0]
+    assert out["p100"].tolist() == [30.0, 7.0, 5.0]
