@@ -191,14 +191,26 @@ def connected_components(
         # while a tight bound risks aborting a legitimately hard topology.
         max_rounds = 4 * int(np.ceil(np.log2(n_rows + 2))) + 8
 
+    from ..context import drop_empty_blocks
+
+    # empty partitions of the per-partition label kernel yield SCHEMA-LESS
+    # pandas blocks; whether one reaches a downstream consumer (e.g. the
+    # corpus join in q_fuzzy_dedup_components) is scheduling-dependent — a
+    # rare flake seen once in ~10 suite runs. Strip them at the source so
+    # every consumer sees the (node, component) schema unconditionally.
+    _label_schema = pa.schema([("node", pa.int64()), ("component", pa.int64())])
+
     prev_fp = None
     labels = None
     for _ in range(max_rounds):
         state = partitioned_group_apply(
             state, "node", _round_partition, num_partitions=num_partitions
         ).materialize()
-        labels = partitioned_group_apply(
-            state, "node", _labels_partition, num_partitions=num_partitions
+        labels = drop_empty_blocks(
+            partitioned_group_apply(
+                state, "node", _labels_partition, num_partitions=num_partitions
+            ),
+            empty_schema=_label_schema,
         ).materialize()
         fp = _label_fingerprint(labels)
         if fp == prev_fp:
